@@ -1,0 +1,150 @@
+"""Lineage, per-stage metrics, and checkpoint-resume.
+
+The reference tracks per-stage wall-clock (``backend/pipeline.js:28-39``),
+cache hit counters (``utils/cacheStats.js``), Redis metric counters
+(``utils/metrics.js``), job progress checkpoints and a result KV with TTL
+(``utils/worker.js:53-112``) that makes finished work observable across
+restarts. The engine's equivalents:
+
+* ``run_with_metrics`` — ``Observation``-based row/byte counts per stage,
+  written to a ``run_metrics`` table (FIXTURES.md §4 schema);
+* ``CheckpointedRun`` — bucket-partitioned execution with a JSON commit
+  manifest: the input is split into N deterministic buckets by
+  ``pmod(xxhash64(doc_id), N)``; each bucket's output commits atomically
+  (parquet dir + manifest entry). A re-run anti-joins buckets against the
+  manifest and processes only the complement — the Spark analogue of the
+  reference's resumable job state (Iceberg-snapshot semantics without an
+  Iceberg catalog in this sandbox; the storage interface is this class).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_COLS = "run_id string, stage string, rows long, bytes long, wall_ms long"
+
+
+def observe_stage(df: DataFrame, obs: Observation, size_col: str | None = None) -> DataFrame:
+    """Attach row/byte observation to a stage output (no extra action)."""
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    if size_col:
+        metrics.append(F.sum(F.length(F.col(size_col))).alias("bytes"))
+    return df.observe(obs, *metrics)
+
+
+def run_with_metrics(
+    spark: SparkSession,
+    stages: dict[str, Callable[[DataFrame], DataFrame]],
+    source: DataFrame,
+    run_id: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Chain stages with an Observation each; returns (result, metrics_df).
+
+    metrics_df materializes only after an action on the result (Spark
+    observation semantics) — call an action, then read metrics.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    observations: list[tuple[str, Observation, float]] = []
+    df = source
+    for name, fn in stages.items():
+        t0 = time.monotonic()
+        obs = Observation(f"{run_id}:{name}")
+        df = observe_stage(fn(df), obs)
+        observations.append((name, obs, t0))
+    result = df
+
+    def metrics_df() -> DataFrame:
+        rows = []
+        for name, obs, t0 in observations:
+            got = obs.get
+            rows.append(
+                (
+                    run_id,
+                    name,
+                    int(got.get("rows", 0)),
+                    int(got.get("bytes", 0) or 0),
+                    int((time.monotonic() - t0) * 1000),
+                )
+            )
+        return spark.createDataFrame(rows, METRICS_COLS)
+
+    return result, metrics_df  # type: ignore[return-value]
+
+
+@dataclass
+class CheckpointedRun:
+    """Bucket-partitioned batch with a commit manifest → resumable runs."""
+
+    spark: SparkSession
+    out_dir: str
+    n_buckets: int = 16
+    key: str = "doc_id"
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "_manifest.json")
+
+    def committed(self) -> set[int]:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        with open(self.manifest_path) as f:
+            return {e["bucket"] for e in json.load(f)["entries"]}
+
+    def _commit(self, bucket: int, rows: int) -> None:
+        entries = []
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                entries = json.load(f)["entries"]
+        entries.append(
+            {
+                "bucket": bucket,
+                "rows": rows,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "snapshot_id": uuid.uuid4().hex,
+            }
+        )
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"entries": entries}, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic manifest swap
+
+    def bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+
+    def run(
+        self,
+        source: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        fail_after: int | None = None,
+    ) -> list[int]:
+        """Process all not-yet-committed buckets; returns buckets done this
+        call. ``fail_after`` aborts after N buckets (crash-injection for
+        the resume test)."""
+        done: list[int] = []
+        todo = [b for b in range(self.n_buckets) if b not in self.committed()]
+        src = source.withColumn("_bucket", self.bucket_col())
+        for b in todo:
+            part = src.filter(F.col("_bucket") == b).drop("_bucket")
+            out = transform(part)
+            path = os.path.join(self.out_dir, f"bucket={b}")
+            out.write.mode("overwrite").parquet(path)
+            rows = self.spark.read.parquet(path).count()
+            self._commit(b, rows)
+            done.append(b)
+            if fail_after is not None and len(done) >= fail_after:
+                raise RuntimeError(f"injected failure after {fail_after} buckets")
+        return done
+
+    def result(self) -> DataFrame:
+        paths = [
+            os.path.join(self.out_dir, f"bucket={b}") for b in sorted(self.committed())
+        ]
+        return self.spark.read.parquet(*paths)

@@ -1,0 +1,257 @@
+"""Deduplication for training-data pipelines.
+
+Generalizes the reference's content-addressed dedup (the sha256 cache key,
+``backend/filters/cacheFilter.js:8-13``) into the full dedup toolbox a
+100 TB corpus pipeline needs:
+
+* exact:        hash-groupBy on sha256(text) — one shuffle on the hash;
+* MinHash+LSH:  word-shingle → K minhashes → B bands → candidate pairs by
+                band-bucket equi-join (never O(n²)) → exact Jaccard verify
+                on candidates only;
+* SimHash:      64-bit sign-of-projection fingerprint; near-dups = small
+                Hamming distance, candidates found by matching on bit
+                blocks (pigeonhole: d ≤ 3 ⇒ some 16-bit quarter equal);
+* n-gram Jaccard: exact verification metric over distinct shingle sets;
+* embedding cosine: near-dup by vector similarity (see similarity.py).
+
+Portability: hashes derive from sha256 hex strings (never engine-native
+``hash()``), so the driver's DuckDB oracle can reproduce signatures
+bit-for-bit. MinHash "permutations" are seeded by prefixing the shingle
+with the permutation index before hashing; min is taken over the hex
+strings (lexicographic order — identical across engines for lowercase
+hex of equal length).
+
+Scale notes: the LSH band join shuffles on (band_idx, band_hash) whose
+cardinality ≫ keys, so it distributes well; hot buckets (boilerplate-
+identical shingle sets) are exactly what AQE skew-join splitting handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions.textstats import words_array
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands × 4 rows ≈ catches jaccard ≳ 0.6
+SHINGLE_N = 3
+SIG_PREFIX = 12  # hex chars of each minhash kept in the signature
+
+
+def shingles(text, n: int = SHINGLE_N):
+    """Distinct word n-gram shingles; short texts fall back to one
+    whole-text shingle so every doc has a signature."""
+    ws = words_array(text)
+    k = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", ws)))
+    )
+
+
+def minhash_signature(text, k: int = MINHASH_K) -> F.Column:
+    """Array of k minhash values (sha256-hex prefixes, lexicographic min)."""
+    sh = shingles(text)
+    return F.array(
+        *[
+            F.substring(
+                F.array_min(
+                    F.transform(
+                        sh, lambda s: F.sha2(F.concat_ws("\x1f", F.lit(str(i)), s), 256)
+                    )
+                ),
+                1,
+                SIG_PREFIX,
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: group by sha256(text); emit groups with size > 1."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("first_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def lsh_bands(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(id, band_idx, band_hash) — the LSH bucketing relation."""
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+                    ),
+                    256,
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+
+
+def ngram_jaccard(a_text, b_text, n: int = SHINGLE_N) -> F.Column:
+    """Exact Jaccard over distinct word n-gram shingle sets."""
+    sa, sb = shingles(a_text, n), shingles(b_text, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: bands → distinct candidate
+    pairs → exact Jaccard verify ≥ threshold.
+
+    Never materializes the O(n²) pair space: the self-join is on
+    (band_idx, band_hash) buckets only.
+    """
+    b = lsh_bands(df, id_col, text_col, k, bands)
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    verified = (
+        cand.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+        .withColumn("jaccard", F.round(ngram_jaccard(F.col("text_a"), F.col("text_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- simhash
+SIMHASH_BITS = 64
+
+
+def _hex_digit_val(hexstr, pos) -> F.Column:
+    """0-15 value of the 1-based ``pos``-th hex char (portable SQL idiom)."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(hexstr, pos, 1)) - 1
+
+
+def simhash64(text) -> F.Column:
+    """64-bit SimHash as a '0'/'1' bitstring (portable across engines).
+
+    Per word: 64 bits from the first 16 hex chars of sha256(word). Bit b
+    contributes +1/−1; the fingerprint takes the sign of each bit-sum.
+    Bitstring output (not int64) avoids sign-bit pitfalls and compares
+    identically everywhere.
+    """
+    ws = words_array(text)
+    hexes = F.transform(ws, lambda w: F.substring(F.sha2(w, 256), 1, 16))
+
+    def bit_sum(b: int) -> F.Column:
+        pos = 16 - b // 4  # 1-based hex char holding bit b (little-endian)
+        shift = 2 ** (b % 4)
+        return F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.floor(_hex_digit_val(h, pos) / shift) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    return F.concat(
+        *[
+            F.when(bit_sum(b) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+
+
+def hamming_bitstr(a, b, bits: int = SIMHASH_BITS) -> F.Column:
+    """Hamming distance between two equal-length bitstrings."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(a, i.cast("int"), 1) == F.substring(b, i.cast("int"), 1),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dups via the pigeonhole block join: if hamming ≤ 3,
+    at least one of the four 16-bit quarters matches exactly — join on
+    (quarter_idx, quarter_bits), then verify full Hamming distance."""
+    sims = df.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    )
+    quarters = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q_idx"),
+                        F.substring("simhash", q * 16 + 1, 16).alias("q_bits"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("q"),
+    ).select(id_col, "simhash", "q.q_idx", "q.q_bits")
+    l, r = quarters.alias("l"), quarters.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.q_idx") == F.col("r.q_idx"))
+            & (F.col("l.q_bits") == F.col("r.q_bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_bitstr(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies:
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, rank per query. The baseline; exact, one
+  narrow pass over the corpus + a per-query top-k (no O(n²) shuffle
+  because queries are broadcast).
+* ``lsh_topk`` — random-hyperplane (sign) LSH: bucket vectors by the sign
+  pattern of dot products with H deterministic hyperplanes; candidates =
+  bucket collisions (with optional multi-probe on Hamming-1 buckets);
+  exact cosine re-rank within candidates. The 100 TB path: the corpus is
+  scanned once to bucket, then joins are equi-joins on small bucket keys.
+
+All arithmetic in float64 with explicit fold order (``zip_with`` +
+``aggregate``) so results are deterministic and reproducible in the
+DuckDB oracle. Hyperplanes are seeded numpy constants embedded as
+literals — identical on both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.operators.windows import top_n_per_key
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _to_double(a), _to_double(b)
+    d = norm(ad) * norm(bd)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(ad, bd) / d)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of corpus vectors per query vector.
+
+    Returns (query_id, neighbor_id, cos). Queries are broadcast — the
+    corpus is never shuffled; ranking shuffles only |corpus|·|queries|
+    candidate rows grouped by query.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp).alias("cos"),
+        )
+    )
+    return top_n_per_key(
+        scored, "query_id", "cos", k, tiebreak="neighbor_id", desc=True
+    ).orderBy("query_id", F.desc("cos"), "neighbor_id")
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded hyperplanes, rounded so literals embedded in
+    SQL oracles are bit-identical to these."""
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id as a bitstring, e.g. '01101001'."""
+    vd = _to_double(vec)
+    bits = [
+        F.when(
+            dot(vd, F.array(*[F.lit(p) for p in plane])) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def _multi_table_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """Array of (table, bucket) structs — one sign-pattern bucket per table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(vec, hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 7,
+    dim: int | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: L independent tables of
+    H hyperplanes each; candidates = bucket collisions in ANY table
+    (union ≡ the standard OR-construction), exact cosine re-rank within
+    candidates. Recall tunes with (H, L); the scale path when |queries|
+    is too large to broadcast — every join is an equi-join on small
+    (table, bucket) keys, never a cross product."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(
+            _multi_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("b"),
+    ).select("neighbor_id", "c_vec", "b.tbl", "b.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _multi_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("b"),
+    ).select("query_id", "q_vec", "b.tbl", "b.bucket")
+    cand = (
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp).alias("cos"),
+    )
+    return top_n_per_key(
+        scored, "query_id", "cos", k, tiebreak="neighbor_id", desc=True
+    ).orderBy("query_id", F.desc("cos"), "neighbor_id")
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing + exact verify.
+
+    Self-join restricted to same-bucket pairs (near-identical vectors
+    collide with high probability at 8 planes), cosine ≥ threshold.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), round_dp
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Ranking windows, retention caps, time windows, percentile stats.
+
+Reference behaviors (SURVEY §2.6, §2.5):
+
+* W1 history top-N: newest-first per owner, limit min(100, ?limit ?? 50)
+  (``backend/utils/history.js:23,40``, ``server.js:500``);
+* W2 retention cap: keep the 200 most recent per owner
+  (``history.js:6,24`` — ``lTrim(0,199)``);
+* W4 rate-limit window: ≤ max requests per key per 60 s
+  (``middleware/globalLimiter.js:8-16``, ``taskLimiter.js:5-15``);
+* A5 benchmark stats: avg / p50 / p95 of response times
+  (``backend/test/imgTest/2.json``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HISTORY_RETENTION = 200  # history.js:6
+HISTORY_DEFAULT_LIMIT = 50  # server.js:500
+HISTORY_MAX_LIMIT = 100
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    n: int,
+    tiebreak: str | None = None,
+    desc: bool = True,
+) -> DataFrame:
+    """W1/W2: rank within key (deterministic tiebreak) and keep top-N.
+
+    The physical plan is one shuffle on ``key`` + an in-partition sort —
+    rank never crosses partitions, so this scales with the number of
+    distinct keys, not total rows.
+    """
+    order = [F.desc(order_col) if desc else F.asc(order_col)]
+    if tiebreak:
+        order.append(F.desc(tiebreak) if desc else F.asc(tiebreak))
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+def history_top_n(
+    df: DataFrame, owner: str, ts: str, limit: int | None = None, id_col: str | None = None
+) -> DataFrame:
+    """W1 with the reference's limit clamp: min(100, ?limit ?? 50)."""
+    n = min(HISTORY_MAX_LIMIT, limit if limit is not None else HISTORY_DEFAULT_LIMIT)
+    return top_n_per_key(df, owner, ts, n, tiebreak=id_col, desc=True)
+
+
+def rate_window_counts(
+    df: DataFrame, ts: str, key: str, window: str = "60 seconds"
+) -> DataFrame:
+    """W4: requests per key per tumbling window; flags over-limit windows
+    the way the limiter would 429 them."""
+    return df.groupBy(F.window(F.col(ts), window).alias("w"), F.col(key)).agg(
+        F.count("*").alias("n")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col(key),
+        F.col("n"),
+    )
+
+
+def percentile_stats(
+    df: DataFrame, value: str, by: str | None = None
+) -> DataFrame:
+    """A5: avg / p50 / p95 (exact percentiles with linear interpolation —
+    matches ANSI ``quantile_cont``; ``percentile_approx`` is the scale
+    variant, swapped in by callers at the 100 TB point where exact
+    percentiles would require a global sort)."""
+    aggs = [
+        F.round(F.avg(value), 4).alias("avg_value"),
+        F.round(F.percentile(value, 0.5), 4).alias("p50"),
+        F.round(F.percentile(value, 0.95), 4).alias("p95"),
+        F.count("*").alias("n"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def success_failed_partition(df: DataFrame, status_col: str, ok_values: list[str]) -> DataFrame:
+    """A4: split results into success/failed legs and count them — the
+    reference's ``Promise.allSettled`` partition (``server.js:472-489``)."""
+    return (
+        df.withColumn(
+            "leg",
+            F.when(F.col(status_col).isin(*ok_values), F.lit("success")).otherwise(
+                F.lit("failed")
+            ),
+        )
+        .groupBy("leg")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,97 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.operators.dedup import (
+    exact_dup_groups,
+    hamming_bitstr,
+    minhash_near_dups,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_dups,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-word change → high jaccard
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely different words about spark shuffle partitions here"),
+        (5, "short text"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    got = exact_dup_groups(docs, "id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["dup_count"] == 2 and got[0]["first_id"] == 1
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sigs = {
+        r["id"]: tuple(r["sig"])
+        for r in docs.select("id", minhash_signature(F.col("text")).alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert shared >= 8
+
+
+def test_minhash_near_dups_finds_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, "id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    j = docs.alias("a").crossJoin(docs.alias("b")).select(
+        F.col("a.id").alias("ia"),
+        F.col("b.id").alias("ib"),
+        ngram_jaccard(F.col("a.text"), F.col("b.text")).alias("j"),
+    )
+    vals = {(r["ia"], r["ib"]): r["j"] for r in j.collect()}
+    assert vals[(1, 2)] == 1.0
+    assert vals[(1, 1)] == 1.0
+    assert vals[(1, 4)] == 0.0
+    assert 0.0 < vals[(1, 3)] < 1.0
+
+
+def test_simhash_properties(spark, docs):
+    sims = {
+        r["id"]: r["s"] for r in docs.select("id", simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sims.values())
+    assert sims[1] == sims[2]
+    # near-dup: small hamming; different: large
+    d13 = sum(a != b for a, b in zip(sims[1], sims[3]))
+    d14 = sum(a != b for a, b in zip(sims[1], sims[4]))
+    assert d13 < d14
+
+
+def test_hamming_bitstr(spark):
+    df = spark.createDataFrame([("1100", "1001")], "a string, b string")
+    assert df.select(hamming_bitstr(F.col("a"), F.col("b"), 4).alias("h")).first()["h"] == 2
+
+
+def test_simhash_near_dups_exact_pairs(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, "id", "text", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0

@@ -1,0 +1,70 @@
+"""Lineage metrics + checkpoint-resume (FIXTURES.md §4 contract):
+crash mid-run, rerun, only the complement is processed, final output
+identical to a clean full run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.corpus import generate_df
+from ktpm___ocr_spark.metrics import CheckpointedRun, run_with_metrics
+from ktpm___ocr_spark.pipeline import extract_narrow
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = generate_df(spark, 200, seed=42, partitions=4)
+    df.cache().count()
+    return df
+
+
+def test_resume_after_injected_failure(spark, docs, tmp_path_factory):
+    out1 = str(tmp_path_factory.mktemp("ckpt_crash"))
+    out2 = str(tmp_path_factory.mktemp("ckpt_clean"))
+
+    crashed = CheckpointedRun(spark, out1, n_buckets=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crashed.run(docs, extract_narrow, fail_after=3)
+    assert len(crashed.committed()) == 3
+
+    # resume: a fresh run object over the same dir processes only the rest
+    resumed = CheckpointedRun(spark, out1, n_buckets=8)
+    done = resumed.run(docs, extract_narrow)
+    assert len(done) == 5
+    assert resumed.committed() == set(range(8))
+
+    clean = CheckpointedRun(spark, out2, n_buckets=8)
+    clean.run(docs, extract_narrow)
+
+    def as_map(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in r["spans"]] for r in df.collect()
+        }
+
+    assert as_map(resumed.result()) == as_map(clean.result())
+
+
+def test_rerun_on_complete_manifest_is_noop(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt_noop"))
+    run = CheckpointedRun(spark, out, n_buckets=4)
+    assert len(run.run(docs, extract_narrow)) == 4
+    assert run.run(docs, extract_narrow) == []  # nothing left to do
+
+
+def test_run_with_metrics_counts(spark, docs):
+    result, metrics_fn = run_with_metrics(
+        spark,
+        {
+            "extract": lambda df: extract_narrow(df),
+            "flatten": lambda df: df.select(
+                "doc_id", F.explode("spans").alias("s")
+            ),
+        },
+        docs,
+    )
+    n_rows = result.count()  # action materializes observations
+    m = {r["stage"]: r["rows"] for r in metrics_fn().collect()}
+    assert m["extract"] == docs.count()
+    assert m["flatten"] == n_rows
+    assert n_rows > docs.count()  # exploded rows ≫ docs

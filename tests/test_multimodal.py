@@ -1,0 +1,57 @@
+"""Multimodal plumbing: stubbed decode over Arrow batches, frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ktpm___ocr_spark.corpus import generate_df
+from ktpm___ocr_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_refs,
+    media_payload_from_spans,
+)
+
+
+def test_decode_media_stub_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a.png", b"bytes-a"), ("b.jpg", b"bytes-b"), ("c", None)],
+        "media_ref string, payload binary",
+    )
+    got = {r["media_ref"]: r.asDict() for r in decode_media(df).collect()}
+    sha_a = hashlib.sha256(b"bytes-a").hexdigest()
+    assert got["a.png"]["content_sha"] == sha_a
+    assert got["a.png"]["n_bytes"] == 7
+    assert got["a.png"]["format"] == "png"
+    assert 1 <= got["a.png"]["width"] <= 1920
+    assert got["c"]["n_bytes"] == 0 and got["c"]["content_sha"] is None
+    # deterministic across runs
+    again = {r["media_ref"]: r.asDict() for r in decode_media(df).collect()}
+    assert got == again
+
+
+def test_real_decoder_is_explicitly_stubbed(spark):
+    df = spark.createDataFrame([("a", b"x")], "media_ref string, payload binary")
+    with pytest.raises(NotImplementedError):
+        decode_media(df, real_decoder=True)
+
+
+def test_media_extraction_from_corpus(spark):
+    docs = generate_df(spark, 50, seed=42)
+    media = media_payload_from_spans(docs)
+    n = media.count()
+    assert n > 0
+    decoded = decode_media(media)
+    assert decoded.count() == n
+    assert decoded.filter("content_sha is null").count() == 0
+
+
+def test_frame_sample_explodes(spark):
+    df = spark.createDataFrame([("v1",), ("v2",)], "media_ref string")
+    got = frame_sample_refs(df, n_frames=3)
+    assert got.count() == 6
+    rows = got.filter("media_ref = 'v1'").orderBy("frame_idx").collect()
+    assert [r["frame_ref"] for r in rows] == [
+        "v1#frame=0", "v1#frame=1", "v1#frame=2"
+    ]

@@ -1,0 +1,105 @@
+"""Text analysis functions: token counts, lang-id, quality, fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions.hashing import composite_key, hash_priority, sha256_hex
+from ktpm___ocr_spark.functions.langmap import normalize_lang, skip_if_blank
+from ktpm___ocr_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, it's 2026!"), (2, ""), (3, None), (4, "  a  b  ")],
+        "id int, t string",
+    )
+    got = {
+        r["id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "id",
+            token_count_ws("t").alias("ws"),
+            token_count_bpe("t").alias("bpe"),
+        ).collect()
+    }
+    assert got[1] == (4, 8)  # hello/world,/it's/2026! vs hello world , it ' s 2026 !
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (2, 2)
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "xyzzy frobnicate quux blorp zork"),
+            (3, ""),
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", lang_id("t").alias("l")).collect()}
+    assert got == {1: "en", 2: "unk", 3: "und"}
+
+
+def test_quality_score_ranges_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 12),
+            (2, "!!! ### $$$ %%% ^^^"),
+            (3, ""),
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score("t").alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[1] > got[2]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id int, t string",
+    )
+    got = {r["id"]: r["f"] for r in df.select("id", fingerprint("t").alias("f")).collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[2]
+    assert all(0 <= v < 2**31 for v in got.values())
+
+
+def test_hashing_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("abc", "pdf")], "t string, fmt string")
+    r = df.select(
+        sha256_hex("t").alias("h"),
+        composite_key("t", "fmt").alias("ck"),
+        hash_priority(F.lit(None).cast("string"), content="t").alias("hp"),
+    ).first()
+    assert r["h"] == hashlib.sha256(b"abc").hexdigest()
+    assert r["ck"] == hashlib.sha256("abc\x1fpdf".encode()).hexdigest()
+    assert r["hp"] == r["h"]
+
+
+def test_langmap_and_skip(spark):
+    df = spark.createDataFrame(
+        [(1, "vie", "hello"), (2, "xx", ""), (3, None, "  "), (4, "eng", "hi")],
+        "id int, lang string, text string",
+    )
+    got = {
+        r["id"]: (r["l"], r["t"])
+        for r in df.select(
+            "id",
+            normalize_lang("lang").alias("l"),
+            skip_if_blank("text", F.upper("text")).alias("t"),
+        ).collect()
+    }
+    assert got[1] == ("vi", "HELLO")
+    assert got[2] == ("xx", "")
+    assert got[3] == ("vi", "  ")
+    assert got[4] == ("en", "HI")

@@ -1,0 +1,85 @@
+"""W1/W2/W4 + A4/A5 against the driver's events table (sf0.001),
+cross-checked with pure-Python computations."""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+
+from ktpm___ocr_spark.operators.windows import (
+    history_top_n,
+    percentile_stats,
+    rate_window_counts,
+    success_failed_partition,
+    top_n_per_key,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_history_top_n_matches_python(spark, sf001_dir):
+    ev = _events(spark, sf001_dir)
+    got = history_top_n(ev, "user_id", "ts", limit=5, id_col="event_id")
+    rows = ev.select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    want = {
+        u: set(
+            e for _, e in sorted(v, key=lambda x: (x[0], x[1]), reverse=True)[:5]
+        )
+        for u, v in by_user.items()
+    }
+    out = defaultdict(set)
+    for r in got.collect():
+        out[r["user_id"]].add(r["event_id"])
+    assert dict(out) == {u: s for u, s in want.items()}
+
+
+def test_history_limit_clamp(spark, sf001_dir):
+    ev = _events(spark, sf001_dir)
+    # limit=1000 clamps to 100 (server.js:500 semantics)
+    got = history_top_n(ev, "user_id", "ts", limit=1000, id_col="event_id")
+    per_user = got.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 100 for r in per_user)
+
+
+def test_rate_window_counts_total(spark, sf001_dir):
+    ev = _events(spark, sf001_dir)
+    got = rate_window_counts(ev, "ts", "user_id")
+    # windows partition all events exactly once
+    assert got.agg({"n": "sum"}).first()[0] == ev.count()
+
+
+def test_percentiles_match_numpy(spark, sf001_dir):
+    import numpy as np
+
+    ev = _events(spark, sf001_dir)
+    got = percentile_stats(ev, "value").first()
+    vals = np.array([r["value"] for r in ev.select("value").collect()])
+    assert got["avg_value"] == round(float(np.mean(vals)), 4)
+    assert got["p50"] == round(float(np.percentile(vals, 50)), 4)
+    assert got["p95"] == round(float(np.percentile(vals, 95)), 4)
+
+
+def test_success_failed_partition(spark, sf001_dir):
+    ev = _events(spark, sf001_dir)
+    got = {r["leg"]: r["n"] for r in
+           success_failed_partition(ev, "event_type", ["error"]).collect()}
+    n_err = ev.filter("event_type = 'error'").count()
+    assert got.get("success", 0) == n_err
+    assert got.get("failed", 0) == ev.count() - n_err
+
+
+def test_json_props_parse(spark, sf001_dir):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf001_dir)
+    got = ev.select(
+        F.coalesce(F.from_json("props", "k int")["k"], F.lit(-1)).alias("k"), "props"
+    ).collect()
+    for r in got:
+        want = json.loads(r["props"]).get("k", -1) if r["props"] else -1
+        assert r["k"] == want
