@@ -1,38 +1,805 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the training-data ops), each with a DuckDB-equivalent ANSI
+SQL oracle. Every computed column is aliased identically on both sides;
+floats are rounded identically; int widths are cast to BIGINT where DuckDB
+would produce BIGINT.
+
+Cross-engine portability rules (shared with the package):
+* hashes via sha256 hex (never engine-native hash()),
+* regexes restricted to Java-regex ∩ RE2 common syntax; DuckDB
+  regexp_replace gets the 'g' flag to match Spark's replace-all,
+* folds with explicit init + modulus 2³¹−1 (ANSI-safe),
+* UTC session timezone for timestamp-bearing queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ktpm___ocr_spark import textnorm
+from ktpm___ocr_spark.functions import chunking, hashing, langmap, textstats
+from ktpm___ocr_spark.operators import dedup as dd
+from ktpm___ocr_spark.operators import multimodal as mm
+from ktpm___ocr_spark.operators import similarity as sim
+from ktpm___ocr_spark.operators import windows as win
+from ktpm___ocr_spark.pipeline import extract_narrow
+
+SEP = "\x1f"
+SQL_SEP = "chr(31)"
+CHUNK = 200  # chunk size used for the oracle-checked chunk queries
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# =====================================================================
+# entry — flagship: full span-extraction pipeline at sf0.001
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Synthesize interleaved spans from the sf0.001 documents table
+    (deterministic chunking + pseudo-shuffled offsets + a media span per
+    doc), run the zero-shuffle narrow extraction plan, return the
+    extracted table."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    chunks = chunking.chunk_array(F.col("text"), 64)
+    text_spans = F.transform(
+        chunks,
+        lambda c, i: F.struct(
+            F.lit("text").alias("kind"),
+            c.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            # pseudo-shuffled unique offsets (37 invertible mod 1009)
+            F.pmod((i + 1) * 37, F.lit(1009)).cast("int").alias("offset"),
+        ),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+            "media_ref"
+        ),
+        F.lit(2000).cast("int").alias("offset"),
+    )
+    spans_df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(text_spans, F.array(media_span)).alias("spans"),
+    )
+    return extract_narrow(spans_df, variant="pdf", boilerplate="drop")
 
 
+# =====================================================================
+# queries + oracles
+# =====================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- P1/P2: content hashing ----------------
+    q["p1_sha256"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", hashing.sha256_hex("text").alias("text_sha")
+    )
+    q["p2_composite_key"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        hashing.composite_key("text", "lang", "source").alias("cache_key"),
+    )
+
+    # ---------------- P5/P6: normalization ----------------
+    q["p5_normalize_pdf"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textnorm.normalize_pdf(F.col("text")).alias("norm_text")
+    )
+    q["p6_normalize_txt"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textnorm.normalize_txt(F.col("text")).alias("norm_text")
+    )
+
+    # ---------------- P7/P8: skip-blank + lang map ----------------
+    q["p7_skip_blank"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        langmap.skip_if_blank("text", F.upper(F.col("text"))).alias("out_text"),
+    )
+    q["p8_lang_norm"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", langmap.normalize_lang("lang").alias("lang_norm")
+    )
+
+    # ---------------- P9/P10/P12: title, dispatch, hash priority ----------------
+    q["p9_title"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        textnorm.title_from_name(
+            F.concat(F.col("source"), F.lit(".png"))
+        ).alias("title"),
+    )
+
+    def p10(spark, sf):
+        d = _t(spark, sf, "documents")
+        fmt = (
+            F.when(F.col("n_chars") % 3 == 0, F.lit("pdf"))
+            .when(F.col("n_chars") % 3 == 1, F.lit("docx"))
+            .otherwise(F.lit("txt"))
+        )
+        mime = (
+            F.when(fmt == "pdf", F.lit("application/pdf"))
+            .when(
+                fmt == "docx",
+                F.lit(
+                    "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+                ),
+            )
+            .otherwise(F.lit("text/plain"))
+        )
+        return d.select(
+            "doc_id",
+            fmt.alias("fmt"),
+            mime.alias("mime"),
+            F.concat(F.col("source"), F.lit("."), fmt).alias("filename"),
+        )
+
+    q["p10_format_dispatch"] = p10
+
+    def p12(spark, sf):
+        d = _t(spark, sf, "documents")
+        trans_hash = F.when(
+            F.col("lang") == "en", hashing.sha256_hex("text")
+        ).otherwise(F.lit(None).cast("string"))
+        return d.select(
+            "doc_id",
+            hashing.hash_priority(
+                trans_hash, F.lit(None).cast("string"), content="source"
+            ).alias("export_key"),
+        )
+
+    q["p12_hash_priority"] = p12
+
+    # ---------------- P11: JSON parse with fallback ----------------
+    def p11(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.coalesce(F.from_json("props", "k int")["k"], F.lit(-1))
+            .cast("int")
+            .alias("k"),
+        )
+
+    q["p11_json_props"] = p11
+
+    # ---------------- C1–C3: chunk / explode / re-stitch ----------------
+    def c1(spark, sf):
+        d = _t(spark, sf, "documents")
+        chunks = chunking.chunk_array("text", CHUNK)
+        return d.select(
+            "doc_id",
+            F.size(chunks).cast("long").alias("n_chunks"),
+            chunking.restitch_array(chunks).eqNullSafe(F.col("text")).alias(
+                "roundtrip_ok"
+            ),
+        )
+
+    q["c1_chunk_roundtrip"] = c1
+
+    def c2(spark, sf):
+        d = _t(spark, sf, "documents")
+        ex = chunking.chunk_explode(d, "doc_id", "text", CHUNK)
+        return ex.select(
+            "doc_id", F.col("chunk_pos").cast("long").alias("chunk_pos"), "chunk"
+        )
+
+    q["c2_chunk_explode"] = c2
+
+    def c3(spark, sf):
+        d = _t(spark, sf, "documents")
+        ex = chunking.chunk_explode(d, "doc_id", "text", CHUNK)
+        return chunking.restitch_grouped(ex.repartition(8), "doc_id")
+
+    q["c3_restitch_grouped"] = c3
+
+    def c4_span_restitch(spark, sf):
+        """Span-sequence machinery, SQL-checkable form: 40-char chunks with
+        pseudo-shuffled offsets, normalized, re-stitched by offset order."""
+        d = _t(spark, sf, "documents")
+        chunks = chunking.chunk_array(textnorm.normalize_pdf(F.col("text")), 40)
+        spans = F.transform(
+            chunks,
+            lambda c, i: F.struct(
+                F.pmod((i + 1) * 37, F.lit(101)).cast("int").alias("o"),
+                c.alias("c"),
+            ),
+        )
+        stitched = F.array_join(
+            F.transform(F.array_sort(spans), lambda s: s["c"]), ""
+        )
+        return d.select("doc_id", stitched.alias("restitched"))
+
+    q["c4_span_restitch"] = c4_span_restitch
+
+    # ---------------- J5/A1: dedup groups + hit rate ----------------
+    def j5(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("doc_id", hashing.sha256_hex("text").alias("text_sha"))
+            .groupBy("text_sha")
+            .agg(
+                F.count("*").alias("dup_count"),
+                F.min("doc_id").alias("first_doc"),
+            )
+        )
+
+    q["j5_dedup_groups"] = j5
+
+    def a1(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            (F.count("*") - F.countDistinct(hashing.sha256_hex("text"))).alias(
+                "hits"
+            ),
+            F.countDistinct(hashing.sha256_hex("text")).alias("misses"),
+        ).select(
+            "hits",
+            "misses",
+            F.when(F.col("hits") + F.col("misses") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("hits") * 100.0 / (F.col("hits") + F.col("misses")), 2
+                )
+            )
+            .alias("hit_rate_pct"),
+        )
+
+    q["a1_hit_rate"] = a1
+
+    # ---------------- W1/W2/W4/A4/A5 over events ----------------
+    def w1(spark, sf):
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        return win.history_top_n(
+            ev, "user_id", "ts", limit=5, id_col="event_id"
+        ).select("user_id", "event_id")
+
+    q["w1_history_top5"] = w1
+
+    def w2(spark, sf):
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        capped = win.top_n_per_key(
+            ev, "user_id", "ts", win.HISTORY_RETENTION, tiebreak="event_id"
+        )
+        return capped.groupBy("user_id").agg(F.count("*").alias("kept"))
+
+    q["w2_retention_cap"] = w2
+
+    def w4(spark, sf):
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        return win.rate_window_counts(ev, "ts", "user_id")
+
+    q["w4_rate_windows"] = w4
+
+    def a4(spark, sf):
+        ev = _t(spark, sf, "events")
+        return win.success_failed_partition(ev, "event_type", ["error"])
+
+    q["a4_success_failed"] = a4
+
+    def a5(spark, sf):
+        ev = _t(spark, sf, "events")
+        return win.percentile_stats(ev, "value", by="event_type")
+
+    q["a5_percentiles"] = a5
+
+    # ---------------- text analysis ----------------
+    q["text_tokens"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        textstats.token_count_ws("text").cast("long").alias("tok_ws"),
+        textstats.token_count_bpe("text").cast("long").alias("tok_bpe"),
+    )
+    q["text_langid"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textstats.lang_id("text").alias("lang_pred")
+    )
+    q["text_quality"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textstats.quality_score("text").alias("quality")
+    )
+    q["text_fingerprint"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textstats.fingerprint("text").alias("fp")
+    )
+
+    # ---------------- dedup: minhash signatures, LSH pairs, simhash ----------------
+    q["dedup_minhash_sig"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        F.array_join(dd.minhash_signature(F.col("text")), ",").alias("sig"),
+    )
+
+    def dedup_lsh_pairs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dd.minhash_near_dups(d, "doc_id", "text", threshold=0.4)
+
+    q["dedup_minhash_pairs"] = dedup_lsh_pairs
+
+    q["dedup_simhash"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", dd.simhash64(F.col("text")).alias("simhash")
+    )
+
+    def dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dd.exact_dup_groups(d, "doc_id", "text")
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram_jaccard(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+        a, b = d.alias("a"), d.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(
+                    dd.ngram_jaccard(F.col("a.text"), F.col("b.text")), 4
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.01)
+        )
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    # ---------------- similarity: ANN brute force + near-dup pairs ----------------
+    def ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.orderBy("vec_id").limit(8)
+        return sim.brute_force_topk(emb, queries_df, k=5)
+
+    q["ann_topk_bruteforce"] = ann_topk
+
+    def emb_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+        a, b = emb.alias("a"), emb.alias("b")
+        return (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(
+                    sim.cosine(F.col("a.embedding"), F.col("b.embedding")), 5
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= 0.3)
+        )
+
+    q["emb_neardup_pairs"] = emb_pairs
+
+    # ---------------- multimodal stub ----------------
+    def multimodal(spark, sf):
+        d = _t(spark, sf, "documents")
+        media = d.select(
+            F.concat(
+                F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".png")
+            ).alias("media_ref"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        return mm.decode_media(media)
+
+    q["multimodal_stub"] = multimodal
+
+    # ---------------- TPC-H-ish relational queries ----------------
+    def tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-02")
+        )
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        disc = dec("l_extendedprice") * (
+            F.lit(1).cast("decimal(18,2)") - dec("l_discount")
+        )
+        charge = disc * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+        g = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count("*").alias("count_order"),
+        )
+        return g.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias(
+                "avg_qty"
+            ),
+            F.round(F.col("_sbp").cast("double") / F.col("count_order"), 4).alias(
+                "avg_price"
+            ),
+            "count_order",
+        )
+
+    q["tpch_q1"] = tpch_q1
+
+    def tpch_q3ish(spark, sf):
+        """Top-10 orders by revenue — broadcast dims, decimal-exact revenue."""
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+        g = (
+            li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.sum(rev).alias("_rev"))
+        )
+        return (
+            g.select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("_rev").cast("double").alias("revenue"),
+            )
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10)
+        )
+
+    q["tpch_q3_top_orders"] = tpch_q3ish
+
+    def revenue_by_nation(spark, sf):
+        cust = _t(spark, sf, "customer")
+        nation = _t(spark, sf, "nation")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+        j = (
+            li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        )
+        return (
+            j.groupBy("n_name")
+            .agg(F.sum(rev).alias("_rev"), F.count("*").alias("n_items"))
+            .select(
+                "n_name",
+                F.col("_rev").cast("double").alias("revenue"),
+                "n_items",
+            )
+        )
+
+    q["revenue_by_nation"] = revenue_by_nation
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["p1_sha256"] = "SELECT doc_id, sha256(text) AS text_sha FROM documents"
+    o["p2_composite_key"] = (
+        f"SELECT doc_id, sha256(concat_ws({SQL_SEP}, text, lang, source)) "
+        "AS cache_key FROM documents"
+    )
+
+    # regexp_replace semantics: DuckDB needs the 'g' flag to replace all.
+    _pdf_norm = (
+        "regexp_replace(regexp_replace(regexp_replace(text,"
+        " '\\r\\n?', chr(10), 'g'),"
+        " '\\n{2,}', chr(10)||chr(10), 'g'),"
+        " '^\\s+|\\s+$', '', 'g')"
+    )
+    _txt_norm = _pdf_norm.replace("'\\n{2,}'", "'\\n{3,}'")
+    o["p5_normalize_pdf"] = f"SELECT doc_id, {_pdf_norm} AS norm_text FROM documents"
+    o["p6_normalize_txt"] = f"SELECT doc_id, {_txt_norm} AS norm_text FROM documents"
+
+    o["p7_skip_blank"] = (
+        "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN text "
+        "ELSE upper(text) END AS out_text FROM documents"
+    )
+    o["p8_lang_norm"] = (
+        "SELECT doc_id, coalesce(CASE lang WHEN 'vie' THEN 'vi' WHEN 'eng' "
+        "THEN 'en' WHEN 'fra' THEN 'fr' WHEN 'jp' THEN 'ja' WHEN 'kor' THEN "
+        "'ko' ELSE lang END, 'vi') AS lang_norm FROM documents"
+    )
+    o["p9_title"] = (
+        "SELECT doc_id, CASE WHEN regexp_replace(source || '.png', "
+        "'\\.[^.]+$', '', 'g') = '' THEN 'Document' ELSE "
+        "regexp_replace(source || '.png', '\\.[^.]+$', '', 'g') END AS title "
+        "FROM documents"
+    )
+    o["p10_format_dispatch"] = (
+        "WITH f AS (SELECT doc_id, source, CASE WHEN n_chars % 3 = 0 THEN "
+        "'pdf' WHEN n_chars % 3 = 1 THEN 'docx' ELSE 'txt' END AS fmt FROM "
+        "documents) SELECT doc_id, fmt, CASE fmt WHEN 'pdf' THEN "
+        "'application/pdf' WHEN 'docx' THEN 'application/vnd.openxmlformats-"
+        "officedocument.wordprocessingml.document' ELSE 'text/plain' END AS "
+        "mime, source || '.' || fmt AS filename FROM f"
+    )
+    o["p12_hash_priority"] = (
+        "SELECT doc_id, coalesce(CASE WHEN lang = 'en' THEN sha256(text) END, "
+        "NULL, sha256(source)) AS export_key FROM documents"
+    )
+    o["p11_json_props"] = (
+        "SELECT event_id, coalesce(TRY_CAST(json_extract_string(props, '$.k') "
+        "AS INT), -1) AS k FROM events"
+    )
+
+    # chunking: n = greatest(ceil(len/size), 1); chunk i = substr((i-1)*size+1, size)
+    _nch = f"greatest(CAST(ceil(length(text) / {CHUNK}.0) AS BIGINT), 1)"
+    o["c1_chunk_roundtrip"] = (
+        f"SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE {_nch} END AS n_chunks, "
+        "CASE WHEN text IS NULL THEN true ELSE "
+        f"array_to_string(list_transform(generate_series(1, {_nch}), "
+        f"i -> substring(text, CAST((i-1)*{CHUNK}+1 AS INT), {CHUNK})), '') = text "
+        "END AS roundtrip_ok FROM documents"
+    )
+    o["c2_chunk_explode"] = (
+        f"SELECT doc_id, i - 1 AS chunk_pos, substring(text, "
+        f"CAST((i-1)*{CHUNK}+1 AS INT), {CHUNK}) AS chunk FROM documents, "
+        f"unnest(generate_series(1, {_nch})) AS t(i) WHERE text IS NOT NULL"
+    )
+    o["c3_restitch_grouped"] = (
+        f"SELECT doc_id, array_to_string(list_transform(generate_series(1, {_nch}), "
+        f"i -> substring(text, CAST((i-1)*{CHUNK}+1 AS INT), {CHUNK})), '') "
+        "AS restitched FROM documents WHERE text IS NOT NULL"
+    )
+
+    _nch40 = (
+        "greatest(CAST(ceil(length("
+        + _pdf_norm
+        + ") / 40.0) AS BIGINT), 1)"
+    )
+    o["c4_span_restitch"] = (
+        "WITH n AS (SELECT doc_id, " + _pdf_norm + " AS nt FROM documents) "
+        "SELECT doc_id, array_to_string(list_transform(list_sort("
+        "list_transform(generate_series(1, greatest(CAST(ceil(length(nt)/40.0) "
+        "AS BIGINT), 1)), i -> {'o': CAST((i * 37) % 101 AS INT), "
+        "'c': substring(nt, CAST((i-1)*40+1 AS INT), 40)})), s -> s.c), '') "
+        "AS restitched FROM n"
+    )
+
+    o["j5_dedup_groups"] = (
+        "SELECT sha256(text) AS text_sha, count(*) AS dup_count, "
+        "min(doc_id) AS first_doc FROM documents GROUP BY 1"
+    )
+    o["a1_hit_rate"] = (
+        "SELECT count(*) - count(DISTINCT sha256(text)) AS hits, "
+        "count(DISTINCT sha256(text)) AS misses, CASE WHEN count(*) = 0 THEN "
+        "0.0 ELSE round((count(*) - count(DISTINCT sha256(text))) * 100.0 / "
+        "count(*), 2) END AS hit_rate_pct FROM documents"
+    )
+
+    o["w1_history_top5"] = (
+        "SELECT user_id, event_id FROM (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id "
+        "DESC) AS rn FROM events) WHERE rn <= 5"
+    )
+    o["w2_retention_cap"] = (
+        "SELECT user_id, count(*) AS kept FROM (SELECT user_id, row_number() "
+        "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn <= 200 GROUP BY user_id"
+    )
+    o["w4_rate_windows"] = (
+        "SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start, "
+        "user_id, count(*) AS n FROM events GROUP BY 1, 2"
+    )
+    o["a4_success_failed"] = (
+        "SELECT CASE WHEN event_type IN ('error') THEN 'success' ELSE "
+        "'failed' END AS leg, count(*) AS n FROM events GROUP BY 1"
+    )
+    o["a5_percentiles"] = (
+        "SELECT event_type, round(avg(value), 4) AS avg_value, "
+        "round(quantile_cont(value, 0.5), 4) AS p50, "
+        "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n "
+        "FROM events GROUP BY event_type"
+    )
+
+    # ---- text analysis (shared formulations; see textstats.py) ----
+    _words = (
+        "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
+        "w -> w <> '')"
+    )
+    _stop = "['" + "','".join(textstats.EN_STOPWORDS) + "']"
+    _stop_ratio = (
+        f"CASE WHEN len({_words}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter({_words}, w -> list_contains({_stop}, w))) AS "
+        f"DOUBLE) / len({_words}) END"
+    )
+    o["text_tokens"] = (
+        "SELECT doc_id, CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) "
+        "AS BIGINT) AS tok_ws, CAST(coalesce(len(regexp_extract_all(text, "
+        f"'{textstats.BPE_TOKEN_RE}')), 0) AS BIGINT) AS tok_bpe FROM documents"
+    )
+    o["text_langid"] = (
+        f"SELECT doc_id, CASE WHEN len({_words}) = 0 THEN 'und' WHEN "
+        f"{_stop_ratio} >= 0.12 THEN 'en' ELSE 'unk' END AS lang_pred "
+        "FROM documents"
+    )
+    _punct_ratio = (
+        "CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 ELSE CAST("
+        f"coalesce(len(regexp_extract_all(text, '{textstats.PUNCT_RE}')), 0) "
+        "AS DOUBLE) / length(text) END"
+    )
+    _mean_wl = (
+        f"CASE WHEN len({_words}) = 0 THEN 0.0 ELSE CAST(list_sum("
+        f"list_transform({_words}, w -> length(w))) AS DOUBLE) / len({_words}) END"
+    )
+    o["text_quality"] = (
+        "SELECT doc_id, round("
+        f"0.3 * least(CAST(coalesce(length(text), 0) AS DOUBLE) / 500.0, 1.0) + "
+        f"0.3 * least({_stop_ratio} / 0.4, 1.0) + "
+        f"0.2 * (1.0 - least({_punct_ratio} / 0.2, 1.0)) + "
+        f"0.2 * (1.0 - least(abs({_mean_wl} - 5.0) / 5.0, 1.0)), 4) "
+        "AS quality FROM documents"
+    )
+    _whash = "CAST(('0x' || substr(sha256(w), 1, 15)) AS BIGINT)"
+    o["text_fingerprint"] = (
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({_words}, w -> {_whash})), "
+        f"(acc, h) -> (acc * 31 + h) % {textstats.FNV_MOD}) AS fp FROM documents"
+    )
+
+    # ---- dedup ----
+    _shingles = (
+        f"list_distinct(CASE WHEN len({_words}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({_words}) - 2), "
+        f"i -> {_words}[i] || ' ' || {_words}[i+1] || ' ' || {_words}[i+2]) "
+        f"ELSE [array_to_string({_words}, ' ')] END)"
+    )
+    _sig = (
+        "list_transform(generate_series(0, 15), i -> substr("
+        "list_aggregate(list_transform(sh, g -> sha256(CAST(i AS VARCHAR) || "
+        "chr(31) || g)), 'min'), 1, 12))"
+    )
+    o["dedup_minhash_sig"] = (
+        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents) "
+        f"SELECT doc_id, array_to_string({_sig}, ',') AS sig FROM s"
+    )
+    o["dedup_minhash_pairs"] = (
+        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
+        "bands AS (SELECT doc_id, sh, b AS band_idx, sha256(sg[b*4+1] || "
+        "chr(31) || sg[b*4+2] || chr(31) || sg[b*4+3] || chr(31) || sg[b*4+4]) "
+        "AS band_hash FROM sig, unnest([0,1,2,3]) AS t(b)), "
+        "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
+        "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "
+        "r.band_hash AND l.doc_id < r.doc_id) "
+        "SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, round(CASE WHEN "
+        "len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0 ELSE "
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh))) END, 4) AS jaccard "
+        "FROM cand JOIN s sa ON cand.id_a = sa.doc_id JOIN s sb ON "
+        "cand.id_b = sb.doc_id) WHERE jaccard >= 0.4"
+    )
+
+    # simhash: 64 explicit bit expressions mirroring simhash64()
+    _hexes = f"list_transform({_words}, w -> substr(sha256(w), 1, 16))"
+    bit_exprs = []
+    for b in range(64):
+        pos = 16 - b // 4
+        shift = 2 ** (b % 4)
+        bit_exprs.append(
+            "CASE WHEN coalesce(list_sum(list_transform(hx, h -> CASE WHEN "
+            f"CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+            f"/ {shift}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    o["dedup_simhash"] = (
+        f"WITH h AS (SELECT doc_id, {_hexes} AS hx FROM documents) "
+        "SELECT doc_id, " + " || ".join(bit_exprs) + " AS simhash FROM h"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT sha256(text) AS text_sha, count(*) AS dup_count, "
+        "min(doc_id) AS first_id FROM documents GROUP BY 1 HAVING count(*) > 1"
+    )
+
+    o["dedup_ngram_jaccard"] = (
+        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents "
+        "WHERE doc_id < 40) "
+        "SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id "
+        "AS id_b, round(CASE WHEN "
+        "len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 ELSE "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.01"
+    )
+
+    # ---- similarity ----
+    _dot = (
+        "list_sum(list_transform(generate_series(1, len(qv)), "
+        "i -> qv[i] * cv[i]))"
+    )
+    _nq = "sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))"
+    _nc = "sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i])))"
+    o["ann_topk_bruteforce"] = (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS "
+        "qv FROM embeddings ORDER BY vec_id LIMIT 8), "
+        "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS "
+        "cv FROM embeddings), "
+        f"s AS (SELECT query_id, neighbor_id, round(CASE WHEN {_nq} * {_nc} "
+        f"= 0 THEN 0.0 ELSE {_dot} / ({_nq} * {_nc}) END, 5) AS cos FROM c, q "
+        "WHERE neighbor_id <> query_id) "
+        "SELECT query_id, neighbor_id, cos FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) "
+        "WHERE rn <= 5"
+    )
+    _dot_ab = (
+        "list_sum(list_transform(generate_series(1, len(av)), i -> av[i] * bv[i]))"
+    )
+    _na = "sqrt(list_sum(list_transform(generate_series(1, len(av)), i -> av[i] * av[i])))"
+    _nb = "sqrt(list_sum(list_transform(generate_series(1, len(bv)), i -> bv[i] * bv[i])))"
+    o["emb_neardup_pairs"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM "
+        "embeddings WHERE vec_id < 150) "
+        "SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS "
+        "id_b, round(CASE WHEN "
+        + _na.replace("av", "a.v")
+        + " * "
+        + _nb.replace("bv", "b.v")
+        + " = 0 THEN 0.0 ELSE "
+        + _dot_ab.replace("av", "a.v").replace("bv", "b.v")
+        + " / ("
+        + _na.replace("av", "a.v")
+        + " * "
+        + _nb.replace("bv", "b.v")
+        + ") END, 5) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        "WHERE cos >= 0.3"
+    )
+
+    # ---- multimodal stub (mirrors fake_decode_py) ----
+    o["multimodal_stub"] = (
+        "SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.png' AS "
+        "media_ref, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS content_sha, 'png' AS format, "
+        "CAST(CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 1920 + 1 "
+        "AS INT) AS width, "
+        "CAST(CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 1080 + 1 "
+        "AS INT) AS height FROM documents"
+    )
+
+    # ---- TPC-H-ish ----
+    o["tpch_q1"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS "
+        "sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS "
+        "DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS "
+        "sum_disc_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS "
+        "DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS "
+        "DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS "
+        "sum_charge, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / "
+        "count(*), 4) AS avg_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / "
+        "count(*), 4) AS avg_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    o["tpch_q3_top_orders"] = (
+        "SELECT o_orderkey, o_orderpriority, CAST(sum(CAST(l_extendedprice AS "
+        "DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS "
+        "DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON "
+        "l_orderkey = o_orderkey GROUP BY o_orderkey, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    )
+    o["revenue_by_nation"] = (
+        "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS "
+        "DOUBLE) AS revenue, count(*) AS n_items FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+
+    return o

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ktpm___ocr_spark.functions.exprutil import let, let2
 from ktpm___ocr_spark.functions.textstats import words_array
 
 MINHASH_K = 16
@@ -56,21 +57,27 @@ def shingles(text, n: int = SHINGLE_N):
 
 
 def minhash_signature(text, k: int = MINHASH_K) -> F.Column:
-    """Array of k minhash values (sha256-hex prefixes, lexicographic min)."""
-    sh = shingles(text)
-    return F.array(
-        *[
-            F.substring(
+    """Array of k minhash values (sha256-hex prefixes, lexicographic min).
+
+    ``let``-bound so the shingle set is computed once, not k times.
+    """
+    return let(
+        shingles(text),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.substring(
                 F.array_min(
                     F.transform(
-                        sh, lambda s: F.sha2(F.concat_ws("\x1f", F.lit(str(i)), s), 256)
+                        sh,
+                        lambda s: F.sha2(
+                            F.concat_ws("\x1f", i.cast("string"), s), 256
+                        ),
                     )
                 ),
                 1,
                 SIG_PREFIX,
-            )
-            for i in range(k)
-        ]
+            ),
+        ),
     )
 
 
@@ -89,20 +96,24 @@ def lsh_bands(
 ) -> DataFrame:
     """(id, band_idx, band_hash) — the LSH bucketing relation."""
     rows = k // bands
-    sig = minhash_signature(F.col(text_col), k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
+    band_structs = let(
+        minhash_signature(F.col(text_col), k),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band_idx"),
                 F.sha2(
                     F.concat_ws(
-                        "\x1f", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+                        "\x1f",
+                        *[
+                            F.element_at(sig, (b * rows + r + 1).cast("int"))
+                            for r in range(rows)
+                        ],
                     ),
                     256,
                 ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+            ),
+        ),
     )
     return df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
         id_col, "b.band_idx", "b.band_hash"
@@ -111,10 +122,13 @@ def lsh_bands(
 
 def ngram_jaccard(a_text, b_text, n: int = SHINGLE_N) -> F.Column:
     """Exact Jaccard over distinct word n-gram shingle sets."""
-    sa, sb = shingles(a_text, n), shingles(b_text, n)
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
-    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+    def body(sa, sb):
+        inter = F.size(F.array_intersect(sa, sb)).cast("double")
+        union = F.size(F.array_union(sa, sb)).cast("double")
+        return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+    return let2(shingles(a_text, n), shingles(b_text, n), body)
 
 
 def minhash_near_dups(
@@ -130,8 +144,17 @@ def minhash_near_dups(
 
     Never materializes the O(n²) pair space: the self-join is on
     (band_idx, band_hash) buckets only.
+
+    Physical notes: the input is repartitioned to cluster parallelism
+    before the hash-heavy signature stage (a skinny scan often arrives in
+    far fewer splits than there are cores — signature compute, not IO, is
+    the bottleneck), and the bands relation is persisted because the
+    self-join consumes it twice (without it Spark re-evaluates the whole
+    signature subtree per side).
     """
-    b = lsh_bands(df, id_col, text_col, k, bands)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, id_col)
+    b = lsh_bands(df, id_col, text_col, k, bands).persist()
     left = b.alias("l")
     right = b.alias("r")
     cand = (
@@ -174,14 +197,15 @@ def simhash64(text) -> F.Column:
     Bitstring output (not int64) avoids sign-bit pitfalls and compares
     identically everywhere.
     """
-    ws = words_array(text)
-    hexes = F.transform(ws, lambda w: F.substring(F.sha2(w, 256), 1, 16))
+    hexes = F.transform(
+        words_array(text), lambda w: F.substring(F.sha2(w, 256), 1, 16)
+    )
 
-    def bit_sum(b: int) -> F.Column:
+    def bit_sum(hx, b: int) -> F.Column:
         pos = 16 - b // 4  # 1-based hex char holding bit b (little-endian)
         shift = 2 ** (b % 4)
         return F.aggregate(
-            hexes,
+            hx,
             F.lit(0),
             lambda acc, h: acc
             + F.when(
@@ -189,11 +213,15 @@ def simhash64(text) -> F.Column:
             ).otherwise(F.lit(-1)),
         )
 
-    return F.concat(
-        *[
-            F.when(bit_sum(b) > 0, F.lit("1")).otherwise(F.lit("0"))
-            for b in range(SIMHASH_BITS)
-        ]
+    # let-bound: the per-word sha256 list is computed once, not 64 times
+    return let(
+        hexes,
+        lambda hx: F.concat(
+            *[
+                F.when(bit_sum(hx, b) > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(SIMHASH_BITS)
+            ]
+        ),
     )
 
 
@@ -216,9 +244,10 @@ def simhash_near_dups(
     """SimHash near-dups via the pigeonhole block join: if hamming ≤ 3,
     at least one of the four 16-bit quarters matches exactly — join on
     (quarter_idx, quarter_bits), then verify full Hamming distance."""
-    sims = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sims = df.repartition(par, id_col).select(
         F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
-    )
+    ).persist()
     quarters = sims.select(
         id_col,
         "simhash",

@@ -122,64 +122,55 @@ def extract_narrow(
         ),
     )
 
-    out = (
-        df.withColumn("_normed", normed)
-        .withColumn(
-            "_feats",
-            F.transform(
-                F.col("_normed"),
-                lambda s: F.struct(
-                    F.when(is_media(s), F.lit(0))
-                    .otherwise(_word_count(s["text"]))
-                    .alias("w"),
-                    F.when(
-                        is_media(s) | (_word_count(s["text"]) == 0), F.lit(0.0)
-                    )
-                    .otherwise(
-                        _link_word_count(s["text"])
-                        / _word_count(s["text"]).cast("double")
-                    )
-                    .alias("ld"),
-                ),
+    # Allocation discipline (the scaling lever in a shared-heap JVM): four
+    # array materializations per doc — sorted, normed, feats, output — and
+    # classify+filter FUSED into one indexed-lambda pass over `normed`
+    # (no keep array, no zipped struct-of-struct, no final re-projection).
+    out = df.withColumn("_normed", normed).withColumn(
+        "_feats",
+        F.transform(
+            F.col("_normed"),
+            lambda s: F.struct(
+                F.when(is_media(s), F.lit(0))
+                .otherwise(_word_count(s["text"]))
+                .alias("w"),
+                F.when(
+                    is_media(s) | (_word_count(s["text"]) == 0), F.lit(0.0)
+                )
+                .otherwise(
+                    _link_word_count(s["text"])
+                    / _word_count(s["text"]).cast("double")
+                )
+                .alias("ld"),
             ),
-        )
-        .withColumn(
-            "_keep",
-            F.transform(
-                F.col("_feats"),
-                lambda s, i: _keep_rule(
-                    s["w"],
-                    s["ld"],
-                    F.coalesce(F.get(F.col("_feats"), i - 1)["w"], F.lit(0)),
-                    F.coalesce(
-                        F.get(F.col("_feats"), i - 1)["ld"], F.lit(0.0)
-                    ),
-                    F.coalesce(F.get(F.col("_feats"), i + 1)["w"], F.lit(0)),
-                ),
-            ),
-        )
+        ),
     )
 
-    zipped = F.zip_with(
-        F.col("_normed"),
-        F.col("_keep"),
-        lambda s, k: F.struct(s.alias("s"), k.alias("k")),
-    )
+    def keep_at(i: Column) -> Column:
+        feats = F.col("_feats")
+        cur = F.get(feats, i)
+        return _keep_rule(
+            cur["w"],
+            cur["ld"],
+            F.coalesce(F.get(feats, i - 1)["w"], F.lit(0)),
+            F.coalesce(F.get(feats, i - 1)["ld"], F.lit(0.0)),
+            F.coalesce(F.get(feats, i + 1)["w"], F.lit(0)),
+        )
+
     if boilerplate == "drop":
-        spans_out = F.transform(
-            F.filter(zipped, lambda x: is_media(x["s"]) | x["k"]),
-            lambda x: x["s"],
+        spans_out = F.filter(
+            F.col("_normed"), lambda s, i: is_media(s) | keep_at(i)
         )
     elif boilerplate == "relabel":
         spans_out = F.transform(
-            zipped,
-            lambda x: _emit(
-                F.when(is_media(x["s"]) | x["k"], x["s"]["kind"]).otherwise(
+            F.col("_normed"),
+            lambda s, i: _emit(
+                F.when(is_media(s) | keep_at(i), s["kind"]).otherwise(
                     F.lit("boilerplate")
                 ),
-                x["s"]["text"],
-                x["s"]["media_ref"],
-                x["s"]["offset"],
+                s["text"],
+                s["media_ref"],
+                s["offset"],
             ),
         )
     else:

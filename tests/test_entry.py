@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, Decimal := __import__("decimal").Decimal):
+        return float(v)
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    if name not in ORACLES:
+        # rows-only check (non-SQL-expressible op)
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0
+        return
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF_DIR)
+    res = con.execute(ORACLES[name])
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch {s_cols} vs {d_cols}"
+    )
+    _, s_ms = _rows_to_multiset(s_cols, s_rows)
+    _, d_ms = _rows_to_multiset(d_cols, d_rows)
+    assert len(s_ms) == len(d_ms), (
+        f"{name}: row count {len(s_ms)} vs {len(d_ms)}"
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_ms, d_ms)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} rows differ; first at {mism[0]}:\n"
+        f"spark={s_ms[mism[0]]}\nduck ={d_ms[mism[0]]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert df.columns == ["doc_id", "spans"]
