@@ -450,6 +450,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3_top_orders"] = tpch_q3ish
 
+    # ---------------- S2/S3: input predicate + base64 ----------------
+    def s2(spark, sf):
+        d = _t(spark, sf, "documents")
+        ext = (
+            F.when(F.col("n_chars") % 5 == 0, F.lit(".png"))
+            .when(F.col("n_chars") % 5 == 1, F.lit(".jpg"))
+            .when(F.col("n_chars") % 5 == 2, F.lit(".bmp"))
+            .when(F.col("n_chars") % 5 == 3, F.lit(".exe"))
+            .otherwise(F.lit(".txt"))
+        )
+        return (
+            d.select("doc_id", F.concat(F.col("source"), ext).alias("fname"))
+            .filter(F.col("fname").rlike(r"\.(png|jpe?g|bmp|tiff|webp)$"))
+        )
+
+    q["s2_mime_filter"] = s2
+
+    def s3(spark, sf):
+        d = _t(spark, sf, "documents")
+        # Spark MIME-wraps base64 output at 76 chars (\r\n); strip the
+        # wrapping for a canonical unwrapped form (what DuckDB emits).
+        b64 = F.regexp_replace(F.base64(F.encode("text", "utf-8")), "\r\n", "")
+        return d.select(
+            "doc_id",
+            b64.alias("b64"),
+            (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias(
+                "roundtrip_ok"
+            ),
+        )
+
+    q["s3_base64_roundtrip"] = s3
+
+    # ---------------- A2/A3: metric counters + per-user usage ----------------
+    q["a2_metric_counters"] = lambda spark, sf: (
+        _t(spark, sf, "events")
+        .groupBy(F.concat(F.lit("metrics:"), F.col("event_type")).alias("metric"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def a3(spark, sf):
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("user_id").agg(
+            F.count("*").alias("api_call_count"),
+            F.max("ts").alias("last_active_at"),
+        )
+
+    q["a3_user_usage"] = a3
+
+    # ---------------- W5: progressive throttle ----------------
+    def w5(spark, sf):
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        g = ev.groupBy(
+            F.window("ts", "30 seconds").alias("w"), F.col("user_id")
+        ).agg(F.count("*").alias("hits"))
+        return g.select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "hits",
+            F.least(F.col("hits") * 500, F.lit(20000)).alias("delay_ms"),
+        )
+
+    q["w5_throttle_delay"] = w5
+
+    # ---------------- rows-only entries (non-SQL-expressible ops) ----------------
+    def extract_synth(spark, sf):
+        """Full span pipeline (classify+fusion) on a synthesized corpus —
+        classifier semantics are pytest-verified against the pure-Python
+        oracle; the driver records a rows-only check here."""
+        from ktpm___ocr_spark.sources.generator import synth_corpus
+
+        return extract_narrow(synth_corpus(spark, 500, seed=42))
+
+    q["extract_pipeline_synth"] = extract_synth
+
+    def lsh_ann(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return sim.lsh_topk(emb, emb.orderBy("vec_id").limit(8), k=5)
+
+    q["ann_topk_lsh"] = lsh_ann
+
+    def convert_pipeline(spark, sf):
+        from ktpm___ocr_spark.operators.document_pipeline import convert_batch
+        from ktpm___ocr_spark.sources.generator import synth_corpus
+
+        results, _ = convert_batch(
+            synth_corpus(spark, 200, seed=42), target_lang="vie", output_format="pdf"
+        )
+        return results.select(
+            "doc_id", "text_hash", "export_key", "mime", "e2e_from_cache"
+        )
+
+    q["convert_pipeline"] = convert_pipeline
+
     def revenue_by_nation(spark, sf):
         cust = _t(spark, sf, "customer")
         nation = _t(spark, sf, "nation")
@@ -763,6 +858,32 @@ def oracle_sql() -> dict[str, str]:
         "AS INT) AS width, "
         "CAST(CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 1080 + 1 "
         "AS INT) AS height FROM documents"
+    )
+
+    o["s2_mime_filter"] = (
+        "SELECT doc_id, fname FROM (SELECT doc_id, source || CASE "
+        "WHEN n_chars % 5 = 0 THEN '.png' WHEN n_chars % 5 = 1 THEN '.jpg' "
+        "WHEN n_chars % 5 = 2 THEN '.bmp' WHEN n_chars % 5 = 3 THEN '.exe' "
+        "ELSE '.txt' END AS fname FROM documents) "
+        "WHERE regexp_matches(fname, '\\.(png|jpe?g|bmp|tiff|webp)$')"
+    )
+    o["s3_base64_roundtrip"] = (
+        "SELECT doc_id, base64(encode(text)) AS b64, "
+        "decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok "
+        "FROM documents"
+    )
+    o["a2_metric_counters"] = (
+        "SELECT 'metrics:' || event_type AS metric, count(*) AS n "
+        "FROM events GROUP BY 1"
+    )
+    o["a3_user_usage"] = (
+        "SELECT user_id, count(*) AS api_call_count, max(ts) AS "
+        "last_active_at FROM events GROUP BY user_id"
+    )
+    o["w5_throttle_delay"] = (
+        "SELECT time_bucket(INTERVAL '30 seconds', ts) AS window_start, "
+        "user_id, count(*) AS hits, least(count(*) * 500, 20000) AS delay_ms "
+        "FROM events GROUP BY 1, 2"
     )
 
     # ---- TPC-H-ish ----
