@@ -515,6 +515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w5_throttle_delay"] = w5
 
+    # ---------------- sessionization (stream/batch-parity operator) ----------------
+    def sessionize(spark, sf):
+        _utc(spark)
+        from ktpm___ocr_spark.streaming.jobs import sessionize_batch
+
+        return sessionize_batch(_t(spark, sf, "events"), gap="5 minutes")
+
+    q["sessionize"] = sessionize
+
     # ---------------- rows-only entries (non-SQL-expressible ops) ----------------
     def extract_synth(spark, sf):
         """Full span pipeline (classify+fusion) on a synthesized corpus —
@@ -879,6 +888,15 @@ def oracle_sql() -> dict[str, str]:
     o["a3_user_usage"] = (
         "SELECT user_id, count(*) AS api_call_count, max(ts) AS "
         "last_active_at FROM events GROUP BY user_id"
+    )
+    o["sessionize"] = (
+        "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+        "ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS "
+        "new_s, event_id FROM events WINDOW w AS (PARTITION BY user_id ORDER "
+        "BY ts, event_id)), s AS (SELECT user_id, ts, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED "
+        "PRECEDING) AS sid FROM o) SELECT user_id, min(ts) AS session_start, "
+        "count(*) AS n_events FROM s GROUP BY user_id, sid"
     )
     o["w5_throttle_delay"] = (
         "SELECT time_bucket(INTERVAL '30 seconds', ts) AS window_start, "

@@ -1,0 +1,64 @@
+"""Streaming jobs: rate windows, counters, sessionization.
+
+Batch/stream parity: each streaming query has the same semantics as its
+batch operator (tests assert stream output == batch output on the same
+finite input via ``trigger(availableNow)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events directory (schema enforced —
+    streaming sources cannot infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+
+def stream_rate_windows(
+    events: DataFrame,
+    window: str = "60 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """W4 as a stream: tumbling per-user counts with an event-time
+    watermark bounding state for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def stream_stage_counters(
+    events: DataFrame, watermark: str = "2 minutes"
+) -> DataFrame:
+    """A2 as a stream: running metric counters per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.concat(F.lit("metrics:"), F.col("event_type")).alias("metric"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap: str = "5 minutes", ts: str = "ts", key: str = "user_id"
+) -> DataFrame:
+    """Sessionization via ``session_window`` (works identically in batch
+    and streaming). Emits (user_id, session_start, n_events)."""
+    return (
+        events.groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,66 @@
+"""Schema-enforced reads, partitioned sinks, distributed generator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.corpus import generate_df
+from ktpm___ocr_spark.operators.render import render_documents
+from ktpm___ocr_spark.sources.generator import synth_corpus
+from ktpm___ocr_spark.sources.readers import (
+    SchemaMismatch,
+    read_documents,
+    write_extracted,
+    write_rendered,
+)
+
+
+def test_read_documents_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "docs")
+    generate_df(spark, 30, seed=42).write.parquet(p)
+    df = read_documents(spark, p)
+    assert df.count() == 33  # 30 + 10% dups
+    assert [f.name for f in df.schema.fields] == ["doc_id", "spans"]
+
+
+def test_read_documents_rejects_wrong_schema(spark, tmp_path):
+    p = str(tmp_path / "bad")
+    spark.createDataFrame([("a", 1)], "doc_id string, nope int").write.parquet(p)
+    with pytest.raises(SchemaMismatch):
+        read_documents(spark, p)
+
+
+def test_write_extracted_bucketed(spark, tmp_path):
+    p = str(tmp_path / "out")
+    df = generate_df(spark, 20, seed=42)
+    write_extracted(df, p, buckets_by="doc_id")
+    back = spark.read.parquet(p)
+    assert back.count() == df.count()
+    assert back.select("bucket").distinct().count() > 1
+
+
+def test_write_rendered_partitioned_by_fmt(spark, tmp_path):
+    p = str(tmp_path / "artifacts")
+    df = spark.createDataFrame(
+        [("1", "x", "A", "pdf"), ("2", "y", "B", "txt")],
+        "doc_id string, text string, title string, fmt string",
+    )
+    write_rendered(
+        render_documents(df, text_col="text", title_col="title", fmt_col="fmt"), p
+    )
+    pdfs = spark.read.parquet(p).filter("fmt = 'pdf'")
+    assert pdfs.count() == 1
+    # partition pruning: the pdf-only scan reads only the pdf partition
+    plan = pdfs._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(fmt" in plan
+
+
+def test_synth_corpus_deterministic_across_parallelism(spark):
+    a = synth_corpus(spark, 100, seed=1)
+    b = synth_corpus(spark, 100, seed=1).repartition(7)
+    rows_a = {r["doc_id"]: r["spans"] for r in a.collect()}
+    rows_b = {r["doc_id"]: r["spans"] for r in b.collect()}
+    assert rows_a == rows_b
+    sizes = [len(s) for s in rows_a.values()]
+    assert min(sizes) >= 3

@@ -1,0 +1,75 @@
+"""Stream/batch parity: the streaming W4/A2 queries produce exactly the
+batch results on the same finite input (availableNow trigger)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ktpm___ocr_spark.operators.windows import rate_window_counts
+from ktpm___ocr_spark.streaming.jobs import (
+    read_events_stream,
+    sessionize_batch,
+    stream_rate_windows,
+    stream_stage_counters,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf001_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf001_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_rate_windows_equals_batch(spark, events_dir):
+    stream = _run_stream(
+        spark,
+        stream_rate_windows(read_events_stream(spark, events_dir)),
+        "rate_win",
+    )
+    batch = rate_window_counts(spark.read.parquet(events_dir), "ts", "user_id")
+    got = {(r["window_start"], r["user_id"]): r["n"] for r in stream.collect()}
+    want = {(r["window_start"], r["user_id"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_counters_equals_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    stream = _run_stream(
+        spark,
+        stream_stage_counters(read_events_stream(spark, events_dir)),
+        "counters",
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.concat(F.lit("metrics:"), F.col("event_type")).alias("metric"))
+        .count()
+    )
+    got = {r["metric"]: r["n"] for r in stream.collect()}
+    want = {r["metric"]: r["count"] for r in batch.collect()}
+    assert got == want
+
+
+def test_sessionize_batch_sane(spark, events_dir):
+    ev = spark.read.parquet(events_dir)
+    sess = sessionize_batch(ev, gap="5 minutes")
+    total = sess.agg({"n_events": "sum"}).first()[0]
+    assert total == ev.count()  # every event in exactly one session
+    # sessions per user ≥ 1 and start bounded by user's event range
+    per_user = sess.groupBy("user_id").count()
+    assert per_user.filter("count < 1").count() == 0
