@@ -515,6 +515,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w5_throttle_delay"] = w5
 
+    # ---------------- as-of / range joins ----------------
+    def asof(spark, sf):
+        _utc(spark)
+        from ktpm___ocr_spark.operators.asof import as_of_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter("event_type = 'click'")
+        errors = ev.filter("event_type = 'error'")
+        return as_of_join(
+            clicks,
+            errors,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_vals={"prev_err_id": "event_id"},
+        ).select("event_id", "user_id", "prev_err_id")
+
+    q["asof_join_clicks"] = asof
+
+    def rjoin(spark, sf):
+        _utc(spark)
+        from ktpm___ocr_spark.operators.asof import range_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+        errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+        return range_join(
+            clicks,
+            errors,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            lower_s=-300,
+            upper_s=300,
+            right_vals={"err_id": "event_id"},
+        ).select("event_id", "err_id")
+
+    q["range_join_events"] = rjoin
+
+    # ---------------- cube / pivot / set ops ----------------
+    def cube_orders(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["cube_orders"] = cube_orders
+
+    def pivot_status(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)))
+            .select(
+                "o_orderpriority",
+                F.coalesce("O", F.lit(0)).alias("n_open"),
+                F.coalesce("F", F.lit(0)).alias("n_finished"),
+                F.coalesce("P", F.lit(0)).alias("n_pending"),
+            )
+        )
+
+    q["pivot_status"] = pivot_status
+
+    def set_ops(spark, sf):
+        cust_nations = (
+            _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+        )
+        supp_nations = (
+            _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+        )
+        both = cust_nations.intersect(supp_nations).withColumn("src", F.lit("both"))
+        cust_only = cust_nations.exceptAll(supp_nations).withColumn(
+            "src", F.lit("cust_only")
+        )
+        return both.unionByName(cust_only)
+
+    q["set_ops_nations"] = set_ops
+
     # ---------------- sessionization (stream/batch-parity operator) ----------------
     def sessionize(spark, sf):
         _utc(spark)
@@ -888,6 +968,38 @@ def oracle_sql() -> dict[str, str]:
     o["a3_user_usage"] = (
         "SELECT user_id, count(*) AS api_call_count, max(ts) AS "
         "last_active_at FROM events GROUP BY user_id"
+    )
+    o["asof_join_clicks"] = (
+        "SELECT c.event_id, c.user_id, e.event_id AS prev_err_id FROM "
+        "(SELECT * FROM events WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+        "ON c.user_id = e.user_id AND e.ts <= c.ts"
+    )
+    o["range_join_events"] = (
+        "SELECT c.event_id, e.event_id AS err_id FROM "
+        "(SELECT event_id, user_id, ts FROM events WHERE event_type = "
+        "'click') c JOIN (SELECT event_id, user_id, ts FROM events WHERE "
+        "event_type = 'error') e ON c.user_id = e.user_id AND e.ts >= "
+        "c.ts - INTERVAL '300 seconds' AND e.ts <= c.ts + INTERVAL '300 "
+        "seconds'"
+    )
+    o["cube_orders"] = (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    )
+    o["pivot_status"] = (
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (o_orderstatus = 'O') AS n_open, "
+        "count(*) FILTER (o_orderstatus = 'F') AS n_finished, "
+        "count(*) FILTER (o_orderstatus = 'P') AS n_pending "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    o["set_ops_nations"] = (
+        "WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer), "
+        "s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier) "
+        "SELECT nk, 'both' AS src FROM (SELECT nk FROM c INTERSECT SELECT "
+        "nk FROM s) UNION ALL SELECT nk, 'cust_only' AS src FROM "
+        "(SELECT nk FROM c EXCEPT SELECT nk FROM s)"
     )
     o["sessionize"] = (
         "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "

@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions — the 100 TB checklist.
+
+Verifies the properties that matter at scale actually hold in the
+compiled plans: filter pushdown into the parquet scan, column pruning,
+broadcast joins for small dims, whole-stage codegen coverage, AQE on.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as em
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf01_dir):
+    df = spark.read.parquet(f"{sf01_dir}/documents.parquet").filter(
+        "doc_id < 100"
+    ).select("doc_id", "lang")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan, plan
+
+
+def test_column_pruning_reads_only_needed(spark, sf01_dir):
+    df = spark.read.parquet(f"{sf01_dir}/documents.parquet").select("doc_id")
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_revenue_by_nation_uses_broadcast_joins(spark, sf01_dir):
+    df = em.queries()["revenue_by_nation"](spark, sf01_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_whole_stage_codegen_covers_q1(spark, sf01_dir):
+    df = em.queries()["tpch_q1"](spark, sf01_dir)
+    df.collect()  # AQE finalizes THIS plan only when it executes
+    plan = _plan(df)
+    # codegen spans render as "*(n)" stage markers in AQE plan strings
+    assert "*(1)" in plan and "HashAggregate" in plan, plan
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_lsh_band_join_is_shuffle_not_cartesian(spark, sf01_dir):
+    df = em.queries()["dedup_minhash_pairs"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_broadcast_queries_no_shuffle_of_corpus(spark, sf01_dir):
+    df = em.queries()["ann_topk_bruteforce"](spark, sf01_dir)
+    plan = _plan(df)
+    # the corpus side joins via broadcast of the 8 queries
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

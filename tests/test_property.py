@@ -1,0 +1,66 @@
+"""Property-based span-sequence equality: randomized documents (hypothesis)
+must extract identically in the oracle and the Spark narrow plan.
+
+Exceeds the reference's test strategy (SURVEY §5.1 notes it has no
+property-based tests). One Spark round-trip per example batch keeps this
+fast: each hypothesis example IS a whole corpus.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ktpm___ocr_spark.corpus import DOCUMENTS_SCHEMA
+from ktpm___ocr_spark.oracle import extract_corpus
+from ktpm___ocr_spark.pipeline import extract_narrow
+
+# text fragments that stress normalization and the classifier
+_frag = st.sampled_from(
+    ["", " ", "\r\n", "\r", "\n\n", "\n\n\n", "\t", "word", "the quick fox",
+     '<a href="/x">x</a>', "a b c d e f g h i j k l m n o p q r", "x" * 200]
+)
+_text = st.lists(_frag, min_size=0, max_size=6).map(" ".join)
+
+_span = st.one_of(
+    st.builds(
+        lambda t: {"kind": "text", "text": t, "media_ref": None},
+        _text,
+    ),
+    st.builds(
+        lambda r: {"kind": "media", "text": None, "media_ref": f"m:{r}"},
+        st.integers(0, 99),
+    ),
+)
+
+
+@st.composite
+def _doc(draw, idx: int = 0):
+    spans = draw(st.lists(_span, min_size=0, max_size=12))
+    offsets = draw(
+        st.permutations(list(range(1, len(spans) + 1))) if spans else st.just([])
+    )
+    return {
+        "doc_id": f"h{draw(st.integers(0, 10**9))}_{len(spans)}",
+        "spans": [
+            {**s, "offset": o} for s, o in zip(spans, offsets)
+        ],
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_doc(), min_size=1, max_size=8, unique_by=lambda d: d["doc_id"]))
+def test_random_docs_extract_equal(spark, docs):
+    df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in extract_narrow(df).collect()
+    }
+    want = extract_corpus(docs)
+    assert got == want
