@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_LABEL = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
 N_DOCS = max(2000, int(float(SF_LABEL) * 400_000)) if SF_LABEL.replace(".", "").isdigit() else 40_000
-CORPUS_PATH = f"/tmp/ktpm_bench_corpus_{N_DOCS}_v2.parquet"
+CORPUS_PATH = f"/tmp/ktpm_bench_corpus_{N_DOCS}_v3.parquet"
 DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
 
 
@@ -66,7 +66,7 @@ def extraction_run(master: str) -> dict:
     for _ in range(2):
         _noop(extract_narrow(docs))
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         _noop(extract_narrow(docs))
         walls.append(time.monotonic() - t0)

@@ -92,6 +92,35 @@ def dedup_compute_once(
     return df.join(computed, on=key_col, how="left")
 
 
+def refresh_cache(
+    cache: DataFrame, computed: DataFrame, keys: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Merge newly computed rows into a cache table (new rows win) —
+    the reference's SET-after-compute (``preprocessFilter.js:36-41``),
+    as a batch upsert."""
+    new = computed.select(*keys, *value_cols)
+    old = cache.select(*keys, *value_cols).join(
+        new.select(*keys), on=keys, how="left_anti"
+    )
+    return new.unionByName(old)
+
+
+def persist_cache(cache: DataFrame, path: str) -> None:
+    """Write a cache table for cross-run reuse (the Redis-TTL analogue is
+    retention on this table; Catalyst cannot memoize across runs —
+    SURVEY §4 — so this table IS the cross-run memo)."""
+    cache.write.mode("overwrite").parquet(path)
+
+
+def load_cache(spark, path: str, ddl: str) -> DataFrame:
+    """Load a persisted cache table; empty (with schema) if absent."""
+    import os
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
 def cache_stats(df: DataFrame, flag_cols: list[str]) -> DataFrame:
     """A1: hit/miss counters + hit rate per stage, as one aggregate.
 

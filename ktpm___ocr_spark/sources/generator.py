@@ -34,7 +34,13 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     s = F.lit(seed)
 
     df = spark.range(n_docs).withColumnRenamed("id", "i")
-    doc = F.col("i")
+    # ~9 % of docs are exact content duplicates of an earlier doc (every
+    # 11th doc clones the doc 5 positions back): doc_id stays unique but
+    # every content-seeded choice below derives from `doc`, the CONTENT
+    # index — the distributed analogue of corpus.py's dup planting.
+    doc = F.when(
+        (F.col("i") % 11 == 10) & (F.col("i") >= 5), F.col("i") - 5
+    ).otherwise(F.col("i"))
 
     n_spans = (
         F.when(doc % 1000 == 999, (_h(s, doc, F.lit("mega")) % 2000 + 9000))
@@ -94,7 +100,8 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
 
     spans = F.transform(F.sequence(F.lit(1), n_spans), span_at)
     return df.select(
-        F.format_string("doc%08d", doc).alias("doc_id"), spans.alias("spans")
+        F.format_string("doc%08d", F.col("i")).alias("doc_id"),
+        spans.alias("spans"),
     )
 
 

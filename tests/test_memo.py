@@ -69,3 +69,51 @@ def test_cache_stats_rates(spark):
     }
     assert got["pre"] == (3, 1, 75.0)
     assert got["ocr"] == (3, 1, 75.0)
+
+
+def test_cross_run_cache_reuse(spark, tmp_path):
+    """FIXTURES §3: a second run against the persisted stage cache takes
+    every row as a hit and recomputes nothing."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.operators.memo import (
+        load_cache,
+        memo_join,
+        persist_cache,
+        refresh_cache,
+    )
+
+    ddl = "pre_hash string, text string"
+    cache_path = str(tmp_path / "cache_text")
+    docs = spark.createDataFrame(
+        [("d1", "h1"), ("d2", "h2"), ("d3", "h3")], "doc_id string, pre_hash string"
+    )
+
+    def compute(miss):
+        return miss.withColumn("text", F.concat(F.lit("ocr:"), F.col("pre_hash")))
+
+    # run 1: empty cache → all misses; persist the refreshed cache
+    c0 = load_cache(spark, cache_path, ddl)
+    out1 = memo_join(docs, c0, ["pre_hash"], ["text"], compute, stage="ocr")
+    assert out1.filter("ocr_from_cache").count() == 0
+    persist_cache(
+        refresh_cache(c0, out1.select("pre_hash", "text"), ["pre_hash"], ["text"]),
+        cache_path,
+    )
+
+    # run 2: same inputs + one new doc → 3 hits, 1 miss
+    docs2 = docs.union(
+        spark.createDataFrame([("d4", "h4")], "doc_id string, pre_hash string")
+    )
+
+    def compute2(miss):
+        # any old row reaching compute here would be a cache-reuse failure
+        return miss.withColumn("text", F.concat(F.lit("NEW:"), F.col("pre_hash")))
+
+    c1 = load_cache(spark, cache_path, ddl)
+    out2 = memo_join(docs2, c1, ["pre_hash"], ["text"], compute2, stage="ocr")
+    rows = {r["doc_id"]: (r["text"], r["ocr_from_cache"]) for r in out2.collect()}
+    assert rows["d1"] == ("ocr:h1", True)
+    assert rows["d2"] == ("ocr:h2", True)
+    assert rows["d3"] == ("ocr:h3", True)
+    assert rows["d4"] == ("NEW:h4", False)
