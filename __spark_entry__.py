@@ -621,6 +621,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_lsh"] = lsh_ann
 
+    def ivf_ann(spark, sf):
+        from ktpm___ocr_spark.operators.ivf import ivf_topk
+
+        emb = _t(spark, sf, "embeddings")
+        return ivf_topk(emb, emb.orderBy("vec_id").limit(8), k=5, n_clusters=8, nprobe=3)
+
+    q["ann_topk_ivf"] = ivf_ann
+
+    def rollup_orders(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["rollup_orders"] = rollup_orders
+
+    q["distinct_users"] = lambda spark, sf: _t(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    # HLL sketch — engine-specific estimates, rows-only check by design
+    q["approx_distinct_users"] = lambda spark, sf: _t(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
     def convert_pipeline(spark, sf):
         from ktpm___ocr_spark.operators.document_pipeline import convert_batch
         from ktpm___ocr_spark.sources.generator import synth_corpus
@@ -983,6 +1008,11 @@ def oracle_sql() -> dict[str, str]:
         "c.ts - INTERVAL '300 seconds' AND e.ts <= c.ts + INTERVAL '300 "
         "seconds'"
     )
+    o["rollup_orders"] = (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    )
+    o["distinct_users"] = "SELECT count(DISTINCT user_id) AS n_users FROM events"
     o["cube_orders"] = (
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
         "GROUP BY CUBE (o_orderstatus, o_orderpriority)"

@@ -72,7 +72,11 @@ def _link_word_count(text: Column) -> Column:
         F.lit(0),
         lambda acc, a: acc + F.regexp_count(a, F.lit(WORD_RE_PATTERN)),
     )
-    return F.coalesce(counted, F.lit(0))
+    # cheap containment guard: regexp_extract_all allocates even on the
+    # ~85 % of spans with no anchor at all
+    return F.when(text.contains("<a"), F.coalesce(counted, F.lit(0))).otherwise(
+        F.lit(0)
+    )
 
 
 def _keep_rule(w: Column, ld: Column, pw: Column, pld: Column, nw: Column) -> Column:

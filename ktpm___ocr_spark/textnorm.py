@@ -65,18 +65,43 @@ def title_from_name_py(name: str | None) -> str:
 
 
 # ----------------------------------------------------------------- spark
+# Each regex pass is guarded by a cheap substring containment check —
+# a regex replace allocates a Matcher + StringBuffer per invocation even
+# on non-matching input, and most spans contain no CR and no newline
+# runs. The guards are semantically transparent: `contains` is a strict
+# superset test for each pattern's trigger (\r for CRLF, \n\n / \n\n\n
+# for the collapses). Allocation rate is the narrow plan's scaling
+# limiter in a shared heap (BENCH/BASELINE.md).
+
+
+def _guarded(col: Column, trigger: str, pattern: str, replacement: str) -> Column:
+    return F.when(
+        col.contains(trigger), F.regexp_replace(col, pattern, replacement)
+    ).otherwise(col)
+
+
+# btrim with the exact Java-regex \s character set — allocation-free
+# equivalent of regexp_replace('^\s+|\s+$','') for the ASCII inputs this
+# engine processes (Java \s ≡ [ \t\n\x0B\f\r]).
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
+def _full_trim(col: Column) -> Column:
+    return F.btrim(col, F.lit(_WS_CHARS))
+
+
 def normalize_pdf(col: Column) -> Column:
     """Spark-native PDF normalization — stays in whole-stage codegen."""
-    t = F.regexp_replace(col, _CRLF, "\n")
-    t = F.regexp_replace(t, _PDF_COLLAPSE, "\n\n")
-    return F.regexp_replace(t, _TRIM, "")
+    t = _guarded(col, "\r", _CRLF, "\n")
+    t = _guarded(t, "\n\n", _PDF_COLLAPSE, "\n\n")
+    return _full_trim(t)
 
 
 def normalize_txt(col: Column) -> Column:
     """Spark-native TXT normalization."""
-    t = F.regexp_replace(col, _CRLF, "\n")
-    t = F.regexp_replace(t, _TXT_COLLAPSE, "\n\n")
-    return F.regexp_replace(t, _TRIM, "")
+    t = _guarded(col, "\r", _CRLF, "\n")
+    t = _guarded(t, "\n\n\n", _TXT_COLLAPSE, "\n\n")
+    return _full_trim(t)
 
 
 def title_from_name(col: Column) -> Column:
