@@ -621,6 +621,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_lsh"] = lsh_ann
 
+    def emb_centroids(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return emb.groupBy("label").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.element_at(F.col("embedding"), 1).cast("double")), 4).alias("dim1_mean"),
+            F.round(F.avg(F.element_at(F.col("embedding"), 2).cast("double")), 4).alias("dim2_mean"),
+        )
+
+    q["emb_centroids"] = emb_centroids
+
+    def top_parts(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        g = li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
+        )
+        return (
+            g.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                "p_partkey", "p_name", F.col("_q").cast("double").alias("total_qty")
+            )
+            .orderBy(F.desc("total_qty"), "p_partkey")
+            .limit(10)
+        )
+
+    q["top_parts_by_qty"] = top_parts
+
+    def supplier_stats(spark, sf):
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        return (
+            s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_suppliers"),
+                F.round(
+                    F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+                    / F.count("*"),
+                    4,
+                ).alias("avg_acctbal"),
+            )
+        )
+
+    q["supplier_stats_by_nation"] = supplier_stats
+
     def ivf_ann(spark, sf):
         from ktpm___ocr_spark.operators.ivf import ivf_topk
 
@@ -1007,6 +1052,24 @@ def oracle_sql() -> dict[str, str]:
         "event_type = 'error') e ON c.user_id = e.user_id AND e.ts >= "
         "c.ts - INTERVAL '300 seconds' AND e.ts <= c.ts + INTERVAL '300 "
         "seconds'"
+    )
+    o["emb_centroids"] = (
+        "SELECT label, count(*) AS n, "
+        "round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS dim1_mean, "
+        "round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS dim2_mean "
+        "FROM embeddings GROUP BY label"
+    )
+    o["top_parts_by_qty"] = (
+        "SELECT p_partkey, p_name, CAST(sum(CAST(l_quantity AS "
+        "DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM lineitem JOIN part ON "
+        "l_partkey = p_partkey GROUP BY p_partkey, p_name "
+        "ORDER BY total_qty DESC, p_partkey LIMIT 10"
+    )
+    o["supplier_stats_by_nation"] = (
+        "SELECT n_name, count(*) AS n_suppliers, "
+        "round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / "
+        "count(*), 4) AS avg_acctbal FROM supplier JOIN nation ON "
+        "s_nationkey = n_nationkey GROUP BY n_name"
     )
     o["rollup_orders"] = (
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
