@@ -64,3 +64,53 @@ def test_random_docs_extract_equal(spark, docs):
     }
     want = extract_corpus(docs)
     assert got == want
+
+
+from ktpm___ocr_spark.functions.chunking import chunk_array, restitch_array  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=600),  # hypothesis default excludes surrogates
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([1, 7, 64, 4500]),
+)
+def test_chunk_roundtrip_random_unicode(spark, texts, size):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    got = {
+        r["id"]: r["o"]
+        for r in df.select(
+            "id", restitch_array(chunk_array("t", size)).alias("o")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == t, (size, repr(t))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=8))
+def test_fingerprint_permutation_sensitivity(spark, texts):
+    """fingerprint(w1..wn) is stable and order-sensitive (rolling hash)."""
+    from ktpm___ocr_spark.functions.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    a = {r["id"]: r["f"] for r in df.select("id", fingerprint("t").alias("f")).collect()}
+    b = {r["id"]: r["f"] for r in df.select("id", fingerprint("t").alias("f")).collect()}
+    assert a == b  # deterministic
+    assert all(0 <= v < 2**31 for v in a.values())
