@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # keep metastore/warehouse artifacts out of the repo working dir
+        .config("spark.sql.warehouse.dir", "/tmp/ktpm_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+            + " -Dderby.system.home=/tmp/ktpm_derby",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

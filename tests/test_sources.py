@@ -64,3 +64,31 @@ def test_synth_corpus_deterministic_across_parallelism(spark):
     assert rows_a == rows_b
     sizes = [len(s) for s in rows_a.values()]
     assert min(sizes) >= 3
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed write on both sides → the doc_id join plans with ZERO
+    Exchange operators (the co-located-join scale pattern)."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.sources.bucketing import cobucketed_join, write_bucketed
+
+    docs = generate_df(spark, 50, seed=42).withColumn(
+        "n_spans", F.size("spans")
+    ).select("doc_id", "n_spans")
+    meta = docs.select("doc_id", (F.col("n_spans") * 2).alias("weight"))
+    # disable broadcast so a shuffle join would otherwise be required
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(docs, "t_docs_b", "doc_id", buckets=8)
+        write_bucketed(meta, "t_meta_b", "doc_id", buckets=8)
+        joined = cobucketed_join(spark, "t_docs_b", "t_meta_b", "doc_id")
+        assert joined.count() == docs.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
