@@ -118,18 +118,24 @@ def main() -> None:
         # both levels equally; per level keep the best docs/sec.
         best = {8: None, 32: None}
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+        import shutil
+
+        taskset = shutil.which("taskset")
         for _ in range(rounds):
             for n in (8, 32):
+                cmd = [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--scaling-worker",
+                    f"local[{n}]",
+                ]
+                if taskset:
+                    # pin the worker to exactly N CPUs: a local[N] run on a
+                    # 32-core box otherwise gets free GC/JIT help from idle
+                    # cores that a real N-core executor would not have
+                    cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
                 p = subprocess.run(
-                    [
-                        sys.executable,
-                        os.path.abspath(__file__),
-                        "--scaling-worker",
-                        f"local[{n}]",
-                    ],
-                    capture_output=True,
-                    text=True,
-                    timeout=1800,
+                    cmd, capture_output=True, text=True, timeout=1800
                 )
                 r = json.loads(p.stdout.strip().splitlines()[-1])
                 if best[n] is None or r["docs_per_sec"] > best[n]["docs_per_sec"]:
