@@ -287,7 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def a4(spark, sf):
         ev = _t(spark, sf, "events")
-        return win.success_failed_partition(ev, "event_type", ["error"])
+        # 'error' events are the rejected leg (allSettled semantics)
+        return win.success_failed_partition(ev, "event_type", fail_values=["error"])
 
     q["a4_success_failed"] = a4
 
@@ -845,8 +846,8 @@ def oracle_sql() -> dict[str, str]:
         "user_id, count(*) AS n FROM events GROUP BY 1, 2"
     )
     o["a4_success_failed"] = (
-        "SELECT CASE WHEN event_type IN ('error') THEN 'success' ELSE "
-        "'failed' END AS leg, count(*) AS n FROM events GROUP BY 1"
+        "SELECT CASE WHEN event_type IN ('error') THEN 'failed' ELSE "
+        "'success' END AS leg, count(*) AS n FROM events GROUP BY 1"
     )
     o["a5_percentiles"] = (
         "SELECT event_type, round(avg(value), 4) AS avg_value, "

@@ -34,6 +34,34 @@ def composite_key(*cols: Column | str, sep: str = COMPOSITE_SEP) -> Column:
     return F.sha2(F.concat_ws(sep, *parts), 256)
 
 
+def spans_content_hash(spans: Column | str, sep: str = COMPOSITE_SEP) -> Column:
+    """Canonical content identity of a span array — offset-sorted, NULL-safe.
+
+    Byte-for-byte equal to :func:`ktpm___ocr_spark.oracle.doc_content_hash`:
+    sha256 over ``kind␟text␟media_ref␟offset␞`` per span in OFFSET order
+    (trailing ␞ after every span, NULLs as empty strings). Sorting before
+    hashing makes content-identical documents hash equal regardless of the
+    physical array order they arrive in — the span-sequence invariant is a
+    property of (offset, …) tuples, not of array position.
+    """
+    s = F.col(spans) if isinstance(spans, str) else spans
+    ordered = F.array_sort(s, lambda l, r: l["offset"] - r["offset"])
+    canon = F.transform(
+        ordered,
+        lambda x: F.concat(
+            F.concat_ws(
+                sep,
+                F.coalesce(x["kind"], F.lit("")),
+                F.coalesce(x["text"], F.lit("")),
+                F.coalesce(x["media_ref"], F.lit("")),
+                x["offset"].cast("string"),
+            ),
+            F.lit("\x1e"),
+        ),
+    )
+    return F.sha2(F.array_join(canon, ""), 256)
+
+
 def hash_priority(*cols: Column | str, content: Column | str | None = None) -> Column:
     """Hash-priority coalesce (P12): first non-null precomputed hash, else
     sha256 of the content itself (``pdfFilter.js:16-21``)."""

@@ -53,8 +53,12 @@ def extract_arrow_native(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        anchor_re = re.compile(ANCHOR_RE_PATTERN)
-        word_re = re.compile(WORD_RE_PATTERN)
+        # ASCII-pinned like the other paths (textnorm.py). RE2's \s (the
+        # pyarrow kernels below) is also ASCII-only; known residual delta:
+        # RE2 \s excludes \x0B where Java/Python-ASCII include it — no
+        # corpus fixture exercises \x0B through this path.
+        anchor_re = re.compile(ANCHOR_RE_PATTERN, re.ASCII)
+        word_re = re.compile(WORD_RE_PATTERN, re.ASCII)
 
         for batch in batches:
             n_rows = batch.num_rows

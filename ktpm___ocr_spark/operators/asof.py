@@ -54,9 +54,12 @@ def as_of_join(
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None))
     u = l_tag.unionByName(r_tag.select(l_tag.columns))
+    # Deterministic tiebreak: multiple right rows sharing (key, ts) sort by
+    # their value columns ascending, so last(ignorenulls) always picks the
+    # MAX right value at a tied instant — stable across runs/partitionings.
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[F.asc_nulls_first(out) for out in right_vals])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for out in right_vals:

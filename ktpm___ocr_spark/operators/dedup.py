@@ -154,6 +154,10 @@ def minhash_near_dups(
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par, id_col)
+    # persist is load-bearing (the self-join consumes bands twice; without
+    # it the whole signature subtree evaluates once per side). Callers that
+    # run many queries on one session reclaim these blocks with
+    # spark.catalog.clearCache() between queries (bench.py does).
     b = lsh_bands(df, id_col, text_col, k, bands).persist()
     left = b.alias("l")
     right = b.alias("r")
@@ -244,10 +248,15 @@ def simhash_near_dups(
     """SimHash near-dups via the pigeonhole block join: if hamming ≤ 3,
     at least one of the four 16-bit quarters matches exactly — join on
     (quarter_idx, quarter_bits), then verify full Hamming distance."""
+    # No persist here: `quarters` below is consumed twice (self-join), but
+    # each side re-derives from the same narrow projection and a persist
+    # would leak cached blocks across queries in long-lived sessions
+    # (bench/driver run dozens of queries per session). The 2× simhash
+    # recompute is bounded and this operator is not on the bench hot path.
     par = df.sparkSession.sparkContext.defaultParallelism
     sims = df.repartition(par, id_col).select(
         F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
-    ).persist()
+    )
     quarters = sims.select(
         id_col,
         "simhash",

@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ktpm___ocr_spark.functions.chunking import chunk_map_restitch
-from ktpm___ocr_spark.functions.hashing import composite_key, hash_priority, sha256_hex
+from ktpm___ocr_spark.functions.hashing import (
+    composite_key,
+    hash_priority,
+    sha256_hex,
+    spans_content_hash,
+)
 from ktpm___ocr_spark.functions.langmap import normalize_lang, skip_if_blank
 from ktpm___ocr_spark.functions.textstats import lang_id
 from ktpm___ocr_spark.operators.render import render_documents
@@ -67,8 +72,11 @@ def convert_batch(
     """
     tgt = normalize_lang(F.lit(target_lang))
 
-    # -- 1. content identity + e2e dedup key (compute once per distinct)
-    keyed = docs.withColumn("raw_hash", sha256_hex(F.to_json("spans"))).withColumn(
+    # -- 1. content identity + e2e dedup key (compute once per distinct).
+    # spans_content_hash sorts by offset before hashing, so content-equal
+    # documents whose arrays arrive shuffled differently still dedup —
+    # matching oracle.doc_content_hash semantics exactly.
+    keyed = docs.withColumn("raw_hash", spans_content_hash("spans")).withColumn(
         "e2e_key",
         composite_key(F.col("raw_hash"), tgt, F.lit(output_format)),
     )

@@ -62,7 +62,11 @@ def memo_join(
     c = cache.filter(has_value)
     if broadcast_cache:
         c = F.broadcast(c)
-    probed = df.join(c, on=keys, how="left")
+    # persist so the probe join executes ONCE: hits, misses, and the
+    # compute-over-misses leg all read the cached join output instead of
+    # re-evaluating it (2–3×). Reclaimed by spark.catalog.clearCache()
+    # between queries in long-lived sessions (bench.py does).
+    probed = df.join(c, on=keys, how="left").persist()
 
     hits = probed.filter(has_value).withColumn(
         f"{stage}_from_cache", F.lit(True)

@@ -86,15 +86,28 @@ def percentile_stats(
     return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
 
 
-def success_failed_partition(df: DataFrame, status_col: str, ok_values: list[str]) -> DataFrame:
+def success_failed_partition(
+    df: DataFrame,
+    status_col: str,
+    ok_values: list[str] | None = None,
+    fail_values: list[str] | None = None,
+) -> DataFrame:
     """A4: split results into success/failed legs and count them — the
-    reference's ``Promise.allSettled`` partition (``server.js:472-489``)."""
+    reference's ``Promise.allSettled`` partition (``server.js:472-489``).
+
+    Exactly one of ``ok_values`` (allow-list → success) or ``fail_values``
+    (deny-list → failed, everything else succeeds — the allSettled shape:
+    a row is 'failed' iff it rejected) must be given.
+    """
+    if (ok_values is None) == (fail_values is None):
+        raise ValueError("pass exactly one of ok_values / fail_values")
+    if fail_values is not None:
+        is_ok = ~F.col(status_col).isin(*fail_values)
+    else:
+        is_ok = F.col(status_col).isin(*ok_values)
     return (
         df.withColumn(
-            "leg",
-            F.when(F.col(status_col).isin(*ok_values), F.lit("success")).otherwise(
-                F.lit("failed")
-            ),
+            "leg", F.when(is_ok, F.lit("success")).otherwise(F.lit("failed"))
         )
         .groupBy("leg")
         .agg(F.count("*").alias("n"))

@@ -35,14 +35,16 @@ from typing import Any
 from ktpm___ocr_spark.textnorm import normalize_pdf_py, normalize_txt_py
 
 # Word = maximal run of non-whitespace. Same regex fed to Spark's
-# regexp_count (Java and Python semantics identical for ASCII input).
+# regexp_count. Compiled with re.ASCII so Python's \S matches Java's
+# ASCII-only default (  /   count as word characters on BOTH
+# sides — see textnorm.py for the whitespace-semantics pin).
 WORD_RE_PATTERN = r"\S+"
-_WORD_RE = re.compile(WORD_RE_PATTERN)
+_WORD_RE = re.compile(WORD_RE_PATTERN, re.ASCII)
 
 # Anchor content: non-greedy, dot does not cross newlines (same default in
 # Java regex, which the Spark plan uses).
 ANCHOR_RE_PATTERN = r"<a[^>]*>(.*?)</a>"
-_ANCHOR_RE = re.compile(ANCHOR_RE_PATTERN)
+_ANCHOR_RE = re.compile(ANCHOR_RE_PATTERN, re.ASCII)
 
 # NumWordsRulesClassifier thresholds (public Boilerpipe constants).
 CURR_LINK_DENSITY_MAX = 0.333333

@@ -297,11 +297,14 @@ def extract_arrow(
     import numpy as np
     import pandas as pd
 
-    crlf = _re.compile(r"\r\n?")
-    collapse = _re.compile(r"\n{2,}" if variant == "pdf" else r"\n{3,}")
-    trim = _re.compile(r"^\s+|\s+$")
-    word_re = _re.compile(WORD_RE_PATTERN)
-    anchor_re = _re.compile(ANCHOR_RE_PATTERN)
+    # re.ASCII pins \s/\S to the JVM plan's Java-default (ASCII) semantics
+    # so all three execution paths agree on non-ASCII whitespace (NBSP,
+    # U+2028 are content, not separators) — see textnorm.py.
+    crlf = _re.compile(r"\r\n?", _re.ASCII)
+    collapse = _re.compile(r"\n{2,}" if variant == "pdf" else r"\n{3,}", _re.ASCII)
+    trim = _re.compile(r"^\s+|\s+$", _re.ASCII)
+    word_re = _re.compile(WORD_RE_PATTERN, _re.ASCII)
+    anchor_re = _re.compile(ANCHOR_RE_PATTERN, _re.ASCII)
     relabel = boilerplate == "relabel"
     if boilerplate not in ("drop", "relabel"):
         raise ValueError(f"unknown boilerplate mode {boilerplate!r}")

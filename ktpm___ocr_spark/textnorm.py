@@ -31,10 +31,16 @@ _PDF_COLLAPSE = r"\n{2,}"  # pdfFilter.js:47  — 2+ newlines → exactly two
 _TXT_COLLAPSE = r"\n{3,}"  # txtFilter.js:45  — 3+ newlines → exactly two
 _TRIM = r"^\s+|\s+$"  # full-whitespace trim (JS String.trim analogue)
 
-_CRLF_RE = re.compile(_CRLF)
-_PDF_RE = re.compile(_PDF_COLLAPSE)
-_TXT_RE = re.compile(_TXT_COLLAPSE)
-_TRIM_RE = re.compile(_TRIM)
+# Whitespace semantics are pinned to ASCII (Java's default \s ≡
+# [ \t\n\x0B\f\r]): the engine's hot path runs Java regex / btrim, so the
+# Python mirrors compile with re.ASCII — otherwise Python's Unicode-aware
+# \s would treat NBSP ( ) / LINE SEPARATOR ( ) as trimmable and
+# the three "span-sequence-equal" paths would diverge on non-ASCII
+# whitespace. NBSP et al. are deliberately *content*, not whitespace.
+_CRLF_RE = re.compile(_CRLF, re.ASCII)
+_PDF_RE = re.compile(_PDF_COLLAPSE, re.ASCII)
+_TXT_RE = re.compile(_TXT_COLLAPSE, re.ASCII)
+_TRIM_RE = re.compile(_TRIM, re.ASCII)
 
 
 # ---------------------------------------------------------------- python

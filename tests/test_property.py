@@ -15,10 +15,13 @@ from ktpm___ocr_spark.corpus import DOCUMENTS_SCHEMA
 from ktpm___ocr_spark.oracle import extract_corpus
 from ktpm___ocr_spark.pipeline import extract_narrow
 
-# text fragments that stress normalization and the classifier
+# text fragments that stress normalization and the classifier — including
+# non-ASCII whitespace (NBSP, LINE SEPARATOR): ASCII-pinned \s must treat
+# these as *content* identically in the oracle and every Spark path
 _frag = st.sampled_from(
     ["", " ", "\r\n", "\r", "\n\n", "\n\n\n", "\t", "word", "the quick fox",
-     '<a href="/x">x</a>', "a b c d e f g h i j k l m n o p q r", "x" * 200]
+     '<a href="/x">x</a>', "a b c d e f g h i j k l m n o p q r", "x" * 200,
+     " ", " nbsp ", " ", "li ne", "é ü 汉字"]
 )
 _text = st.lists(_frag, min_size=0, max_size=6).map(" ".join)
 

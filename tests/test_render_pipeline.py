@@ -97,6 +97,35 @@ def test_convert_batch_end_to_end(spark):
     assert twins
 
 
+def test_spans_content_hash_is_order_canonical(spark):
+    """raw_hash must match oracle.doc_content_hash and be invariant to the
+    physical array order — content-equal docs with shuffled span arrays
+    dedup to the same e2e key."""
+    from ktpm___ocr_spark.corpus import DOCUMENTS_SCHEMA
+    from ktpm___ocr_spark.functions.hashing import spans_content_hash
+    from ktpm___ocr_spark.oracle import doc_content_hash
+
+    spans = [
+        {"kind": "text", "text": "b span", "media_ref": None, "offset": 7},
+        {"kind": "media", "text": None, "media_ref": "m:1", "offset": 2},
+        {"kind": "text", "text": "a span", "media_ref": None, "offset": 5},
+    ]
+    rows = [
+        {"doc_id": "orig", "spans": spans},
+        {"doc_id": "shuffled", "spans": list(reversed(spans))},
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", spans_content_hash("spans").alias("h")).collect()
+    }
+    assert got["orig"] == got["shuffled"] == doc_content_hash(spans)
+    # and the convert pipeline therefore treats the shuffled twin as a hit
+    results, stats = convert_batch(df)
+    st = {r["stage"]: r for r in stats.collect()}
+    assert st["e2e"]["hits"] == 1 and st["e2e"]["misses"] == 1
+
+
 def test_convert_batch_blank_doc_skip(spark):
     from ktpm___ocr_spark.corpus import DOCUMENTS_SCHEMA
 

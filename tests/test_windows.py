@@ -66,11 +66,20 @@ def test_percentiles_match_numpy(spark, sf001_dir):
 
 def test_success_failed_partition(spark, sf001_dir):
     ev = _events(spark, sf001_dir)
-    got = {r["leg"]: r["n"] for r in
-           success_failed_partition(ev, "event_type", ["error"]).collect()}
     n_err = ev.filter("event_type = 'error'").count()
-    assert got.get("success", 0) == n_err
-    assert got.get("failed", 0) == ev.count() - n_err
+    # deny-list form: 'error' rows are the rejected/failed leg
+    got = {r["leg"]: r["n"] for r in
+           success_failed_partition(ev, "event_type", fail_values=["error"]).collect()}
+    assert got.get("failed", 0) == n_err
+    assert got.get("success", 0) == ev.count() - n_err
+    # allow-list form is the complement
+    got2 = {r["leg"]: r["n"] for r in
+            success_failed_partition(ev, "event_type", ok_values=["error"]).collect()}
+    assert got2.get("success", 0) == n_err
+    import pytest
+
+    with pytest.raises(ValueError):
+        success_failed_partition(ev, "event_type")
 
 
 def test_json_props_parse(spark, sf001_dir):
