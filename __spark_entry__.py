@@ -37,10 +37,143 @@ from ktpm___ocr_spark.pipeline import extract_narrow
 SEP = "\x1f"
 SQL_SEP = "chr(31)"
 CHUNK = 200  # chunk size used for the oracle-checked chunk queries
+EMB_DIM = 64  # driver testdata embeddings dimension (all SFs)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Docs-derived span synthesis — deterministic and ENGINE-PORTABLE, so the
+# flagship extraction pipeline itself is hash-checked against DuckDB.
+# Every document's text is chunked to 64-char spans with pseudo-shuffled
+# offsets ((j·37) mod 1009 — 37 invertible, so order ≠ array order); every
+# 5th chunk gains CRLF + newline-run markup (exercises P5 normalization),
+# every 7th≡3 chunk is wrapped in an anchor (exercises link-density and
+# both classifier branches); one media span per doc at offset 2000.
+# =====================================================================
+def _docs_spans_df(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n = F.greatest(F.ceil(F.length(t) / F.lit(64.0)), F.lit(1)).cast("int")
+
+    def deco(c, j):
+        return (
+            F.when(j % 5 == 0, F.concat(F.lit("L1\r\n"), c, F.lit("\n\n\n\nL2")))
+            .when(j % 7 == 3, F.concat(F.lit('<a href="/x">'), c, F.lit("</a> tail")))
+            .otherwise(c)
+        )
+
+    text_spans = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.struct(
+            F.lit("text").alias("kind"),
+            deco(F.substring(t, (j - 1) * 64 + 1, 64), j).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.pmod(j * 37, F.lit(1009)).cast("int").alias("offset"),
+        ),
+    )
+    media = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit(2000).cast("int").alias("offset"),
+    )
+    return d.select(
+        F.col("doc_id"), F.concat(text_spans, F.array(media)).alias("spans")
+    )
+
+
+def _spans_canon(col) -> F.Column:
+    """Span array → one hashable canonical string (kind␟text␟media_ref␟offset
+    joined by ␞) — the driver's pandas canonicalizer cannot sort raw array
+    cells, so every registry entry projects this instead."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda s: F.concat_ws(
+                SEP,
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                s["offset"].cast("string"),
+            ),
+        ),
+        "\x1e",
+    )
+
+
+# ---- DuckDB mirrors of the above (shared CTE text, used by the flagship
+# oracle and the end-to-end convert oracle). Internal struct keys are
+# (k, tx, mr, o); only final output column names must match Spark.
+_PDFNORM = (
+    "regexp_replace(regexp_replace(regexp_replace({e},"
+    " '\\r\\n?', chr(10), 'g'),"
+    " '\\n{{2,}}', chr(10)||chr(10), 'g'),"
+    " '^\\s+|\\s+$', '', 'g')"
+)
+_WC = "coalesce(len(regexp_extract_all({e}, '\\S+')), 0)"
+_LWC = (
+    "coalesce(list_sum(list_transform(regexp_extract_all({e}, '<a[^>]*>(.*?)</a>', 1),"
+    " m -> len(regexp_extract_all(m, '\\S+')))), 0)"
+)
+
+# raw → sp (synthesized spans) → srt (offset-sorted) → nrm (normalized)
+# → ft (per-span word/link-density features, media participates as (0,0))
+_DOCS_SPANS_CTES = f"""
+raw AS (SELECT doc_id, coalesce(text,'') AS t, source FROM documents),
+sp AS (
+  SELECT doc_id,
+    list_concat(
+      list_transform(
+        generate_series(1, greatest(CAST(ceil(length(t)/64.0) AS BIGINT), 1)),
+        j -> struct_pack(
+          k := 'text',
+          tx := CASE
+            WHEN j % 5 = 0 THEN 'L1' || chr(13) || chr(10) || substring(t, CAST((j-1)*64+1 AS INT), 64) || repeat(chr(10), 4) || 'L2'
+            WHEN j % 7 = 3 THEN '<a href="/x">' || substring(t, CAST((j-1)*64+1 AS INT), 64) || '</a> tail'
+            ELSE substring(t, CAST((j-1)*64+1 AS INT), 64) END,
+          mr := CAST(NULL AS VARCHAR),
+          o := CAST((j*37) % 1009 AS INT))),
+      [struct_pack(k := 'media', tx := CAST(NULL AS VARCHAR),
+                   mr := source || '/' || CAST(doc_id AS VARCHAR) || '.png',
+                   o := CAST(2000 AS INT))]
+    ) AS spans
+  FROM raw),
+srt AS (
+  SELECT doc_id, list_sort(list_transform(spans, s -> struct_pack(o := s.o, k := s.k, tx := s.tx, mr := s.mr))) AS sp
+  FROM sp),
+nrm AS (
+  SELECT doc_id, list_transform(sp, s -> struct_pack(
+      k := s.k,
+      tx := CASE WHEN s.k = 'media' THEN CAST(NULL AS VARCHAR) ELSE {_PDFNORM.format(e='s.tx')} END,
+      mr := CASE WHEN s.k = 'media' THEN s.mr ELSE CAST(NULL AS VARCHAR) END,
+      o := s.o)) AS sp
+  FROM srt),
+ft AS (
+  SELECT doc_id, sp, list_transform(sp, s -> struct_pack(
+    w := CASE WHEN s.k = 'media' THEN 0 ELSE {_WC.format(e='s.tx')} END,
+    ld := CASE WHEN s.k = 'media' OR {_WC.format(e='s.tx')} = 0 THEN 0.0
+          ELSE CAST({_LWC.format(e='s.tx')} AS DOUBLE) / {_WC.format(e='s.tx')} END)) AS f
+  FROM nrm)"""
+
+# NumWordsRulesClassifier keep-decision for 1-based list index i (DuckDB
+# list lambdas are 1-indexed; out-of-range / [0] access yields NULL)
+_KEEP_SQL = (
+    "CASE WHEN f[i].ld > 0.333333 THEN false"
+    " WHEN coalesce(f[i-1].ld, 0.0) <= 0.555555"
+    " THEN (f[i].w > 16 OR coalesce(f[i+1].w, 0) > 15 OR coalesce(f[i-1].w, 0) > 4)"
+    " ELSE (f[i].w > 40 OR coalesce(f[i+1].w, 0) > 17) END"
+)
+
+_CANON_SQL = (
+    "array_to_string(list_transform({sp}, s -> coalesce(s.k,'') || chr(31) ||"
+    " coalesce(s.tx,'') || chr(31) || coalesce(s.mr,'') || chr(31) ||"
+    " CAST(s.o AS VARCHAR)), chr(30))"
+)
 
 
 def _utc(spark: SparkSession) -> None:
@@ -337,6 +470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup_exact
 
     def dedup_ngram_jaccard(spark, sf):
+        # LOAD-BEARING CAP: doc_id < 40 bounds this deliberate all-pairs
+        # theta join (an exact-Jaccard oracle check, planned as BNLJ). The
+        # scalable operator is minhash_near_dups (band-bucket equi-join) —
+        # never lift this cap; raise coverage there instead.
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
         a, b = d.alias("a"), d.alias("b")
         return (
@@ -362,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_bruteforce"] = ann_topk
 
     def emb_pairs(spark, sf):
+        # LOAD-BEARING CAP: vec_id < 150 bounds this deliberate all-pairs
+        # exact-cosine oracle check (BNLJ plan). The scalable operator is
+        # similarity.embedding_near_dups (LSH bucket + verify) — never lift
+        # this cap; it exists to cross-check that operator's verdicts.
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
         a, b = emb.alias("a"), emb.alias("b")
         return (
@@ -516,6 +657,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w5_throttle_delay"] = w5
 
+    # ---------------- J1–J4: memo-join (lookup-or-compute with corrupt fallback) ----------------
+    def j1(spark, sf):
+        """One stage of the reference's content-addressed cache chain:
+        docs probe a cache table on sha256(text); valid hits reuse the
+        cached value, corrupt (NULL-payload) rows fall back to compute,
+        misses compute fresh — with lineage flags."""
+        from ktpm___ocr_spark.operators.memo import memo_join
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "text", hashing.sha256_hex("text").alias("k")
+        )
+        # cache: every 3rd doc pre-seeded; every 9th is a corrupt payload
+        cache = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0).select(
+            hashing.sha256_hex("text").alias("k"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                hashing.sha256_hex(F.concat(F.col("text"), F.lit("cached")))
+            )
+            .alias("val"),
+        )
+
+        def compute(miss):
+            return miss.withColumn(
+                "val", hashing.sha256_hex(F.concat(F.col("text"), F.lit("fresh")))
+            )
+
+        out = memo_join(
+            d, cache, keys=["k"], value_cols=["val"], compute=compute, stage="memo"
+        )
+        return out.select("doc_id", "val", "memo_from_cache")
+
+    q["j1_memo_join"] = j1
+
+    # ---------------- C2: per-chunk map with the reference-intent fallback ----------------
+    def c2_map(spark, sf):
+        """chunk → map each chunk (fn returns NULL for chunks starting
+        with 'a' → falls back to the original chunk, the ``translated ??
+        p`` intent pinned from translate.js:185) → ordered re-stitch."""
+
+        def fn(c):
+            return F.when(
+                F.substring(c, 1, 1) == "a", F.lit(None).cast("string")
+            ).otherwise(F.concat(F.lit("["), c, F.lit("]")))
+
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            chunking.chunk_map_restitch("text", fn=fn, size=CHUNK).alias("mapped"),
+        )
+
+    q["c2_chunk_map_fallback"] = c2_map
+
+    # ---------------- S4–S6 render sinks + S7 history items ----------------
+    from ktpm___ocr_spark.operators.render import render_documents
+
+    def s6_txt(spark, sf):
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        r = render_documents(d, text_col="text", fmt="txt")
+        return r.select(
+            "doc_id", F.sha2(F.col("output"), 256).alias("out_sha"), "mime", "filename"
+        )
+
+    q["s6_txt_sink"] = s6_txt
+
+    def s4_pdf(spark, sf):
+        """Rows-only by design: PDF container bytes (xref offsets) are not
+        SQL-expressible; bytes are deterministic by construction
+        (tests/test_render_pipeline.py) and projected as sha256."""
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            textnorm.title_from_name(F.concat(F.col("source"), F.lit(".pdf"))).alias(
+                "title"
+            ),
+        )
+        r = render_documents(d, text_col="text", title_col="title", fmt="pdf")
+        return r.select(
+            "doc_id", F.sha2(F.col("output"), 256).alias("out_sha"), "mime", "filename"
+        )
+
+    q["s4_pdf_sink"] = s4_pdf
+
+    def s5_docx(spark, sf):
+        """Rows-only by design: DOCX is a zip container (CRC/deflate bytes
+        not SQL-expressible); determinism pinned by pytest."""
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            textnorm.title_from_name(F.concat(F.col("source"), F.lit(".docx"))).alias(
+                "title"
+            ),
+        )
+        r = render_documents(d, text_col="text", title_col="title", fmt="docx")
+        return r.select(
+            "doc_id", F.sha2(F.col("output"), 256).alias("out_sha"), "mime", "filename"
+        )
+
+    q["s5_docx_sink"] = s5_docx
+
+    def s7_history(spark, sf):
+        """S7 history-item payload parity (utils/history.js:13-29): the
+        durable per-owner record {id, ts, owner, originalName, filename,
+        mime, outputBase64}, retention-capped (10 here so the cap binds
+        at sf0.01's 25 docs/owner; reference default is 200)."""
+        _utc(spark)
+        d = _t(spark, sf, "documents")
+        prepared = d.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            F.col("source").alias("owner"),
+            F.concat(
+                F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("original_name"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 60).alias("ts"),
+        )
+        rendered = render_documents(
+            prepared.select("doc_id", "text"), text_col="text", fmt="txt"
+        ).select("doc_id", "output", "mime")
+        joined = prepared.drop("text").join(rendered, "doc_id").withColumn(
+            "filename", F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".txt"))
+        )
+        return win.history_items(joined, retention=10)
+
+    q["s7_history_items"] = s7_history
+
     # ---------------- as-of / range joins ----------------
     def asof(spark, sf):
         _utc(spark)
@@ -605,20 +872,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = sessionize
 
-    # ---------------- rows-only entries (non-SQL-expressible ops) ----------------
+    # ---------------- flagship: full extraction pipeline, hash-checked ----------------
     def extract_synth(spark, sf):
-        """Full span pipeline (classify+fusion) on a synthesized corpus —
-        classifier semantics are pytest-verified against the pure-Python
-        oracle; the driver records a rows-only check here."""
-        from ktpm___ocr_spark.sources.generator import synth_corpus
-
-        return extract_narrow(synth_corpus(spark, 500, seed=42))
+        """P4 flagship: docs-derived span synthesis → extract_narrow
+        (sort, normalize, classify, block-fusion filter) → canonical
+        string projection. Fully DuckDB-oracle-checked."""
+        out = extract_narrow(_docs_spans_df(spark, sf), variant="pdf", boilerplate="drop")
+        return out.select("doc_id", _spans_canon(F.col("spans")).alias("spans_canon"))
 
     q["extract_pipeline_synth"] = extract_synth
 
+    def extract_relabel(spark, sf):
+        """P4 relabel mode: boilerplate spans kept but re-kinded."""
+        out = extract_narrow(
+            _docs_spans_df(spark, sf), variant="pdf", boilerplate="relabel"
+        )
+        return out.select("doc_id", _spans_canon(F.col("spans")).alias("spans_canon"))
+
+    q["extract_pipeline_relabel"] = extract_relabel
+
+    def extract_gencorpus(spark, sf):
+        """Rows-only by design: the distributed generator corpus uses
+        xxhash64 seeding (not reproducible in DuckDB); classifier semantics
+        on it are pytest-proven equal to the pure-Python oracle across all
+        Spark paths. Canonical projection keeps the driver's pandas
+        canonicalizer happy."""
+        from ktpm___ocr_spark.sources.generator import synth_corpus
+
+        out = extract_narrow(synth_corpus(spark, 500, seed=42))
+        return out.select("doc_id", _spans_canon(F.col("spans")).alias("spans_canon"))
+
+    q["extract_pipeline_gencorpus"] = extract_gencorpus
+
     def lsh_ann(spark, sf):
         emb = _t(spark, sf, "embeddings")
-        return sim.lsh_topk(emb, emb.orderBy("vec_id").limit(8), k=5)
+        # dim passed explicitly (EMB_DIM): no driver-side .first() probe
+        # during plan construction
+        return sim.lsh_topk(emb, emb.orderBy("vec_id").limit(8), k=5, dim=EMB_DIM)
 
     q["ann_topk_lsh"] = lsh_ann
 
@@ -700,7 +990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synth_corpus(spark, 200, seed=42), target_lang="vie", output_format="pdf"
         )
         return results.select(
-            "doc_id", "text_hash", "export_key", "mime", "e2e_from_cache"
+            "doc_id",
+            "text_hash",
+            "export_key",
+            "mime",
+            "e2e_from_cache",
+            F.sha2(F.col("output"), 256).alias("out_sha"),
         )
 
     q["convert_pipeline"] = convert_pipeline
@@ -1054,12 +1349,97 @@ def oracle_sql() -> dict[str, str]:
         "c.ts - INTERVAL '300 seconds' AND e.ts <= c.ts + INTERVAL '300 "
         "seconds'"
     )
+    # ---- ANN sign-LSH: hyperplane literals are seeded constants shared
+    # verbatim with similarity.hyperplanes(), so the multi-table
+    # OR-construction is fully reproducible in SQL (16 tables × 4 planes
+    # × 64 dims of literals — generated, not hand-written) ----
+    def _lsh_bucket_sql(vexpr: str, planes: list[list[float]]) -> str:
+        bits = []
+        for plane in planes:
+            lits = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            dotp = (
+                f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+                f"i -> {vexpr}[i] * ({lits})[i]))"
+            )
+            bits.append(f"CASE WHEN {dotp} > 0 THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
+    import ktpm___ocr_spark.operators.similarity as _sim
+
+    _cb, _qb = [], []
+    for t in range(16):
+        b = _lsh_bucket_sql("v", _sim.hyperplanes(EMB_DIM, 4, 7 + t))
+        _cb.append(f"SELECT vec_id AS neighbor_id, {t} AS tbl, {b} AS bucket FROM e")
+        _qb.append(f"SELECT vec_id AS query_id, {t} AS tbl, {b} AS bucket FROM q")
+    o["ann_topk_lsh"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8), "
+        "cb AS (" + " UNION ALL ".join(_cb) + "), "
+        "qb AS (" + " UNION ALL ".join(_qb) + "), "
+        "cand AS (SELECT DISTINCT qb.query_id, cb.neighbor_id FROM cb JOIN qb "
+        "ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket AND cb.neighbor_id <> qb.query_id), "
+        "s AS (SELECT query_id, neighbor_id, "
+        f"round(CASE WHEN {_nq} * {_nc} = 0 THEN 0.0 ELSE {_dot} / ({_nq} * {_nc}) END, 5) AS cos "
+        "FROM (SELECT cand.query_id, cand.neighbor_id, eq.v AS qv, ec.v AS cv FROM cand "
+        "JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)) "
+        "SELECT query_id, neighbor_id, cos FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) WHERE rn <= 5"
+    )
+
     o["emb_centroids"] = (
         "SELECT label, count(*) AS n, "
         "round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS dim1_mean, "
         "round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS dim2_mean "
         "FROM embeddings GROUP BY label"
     )
+    # ---- ANN IVF: seeds = 8 lexicographically-first vectors, one Lloyd
+    # refinement (per-dim avg), assignment = argmin sqdist (ties broken by
+    # cluster id via struct sort, same rule as the Spark array_min), probe
+    # 3 nearest clusters, exact cosine rerank ----
+    _sqd = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    o["ann_topk_ivf"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS centroid
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+sc AS (SELECT list(struct_pack(cluster_id := cluster_id, centroid := centroid)) AS cs FROM seeds),
+asg AS (
+  SELECT e.vec_id, e.v,
+    (list_sort(list_transform(sc.cs, c -> struct_pack(
+       d := {_sqd.format(d=EMB_DIM, a="e.v", b="c.centroid")}, cid := c.cluster_id))))[1].cid AS cluster_id
+  FROM e, sc),
+dims AS (
+  SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, {EMB_DIM})) AS dim FROM asg),
+ref AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS centroid
+  FROM (SELECT cluster_id, dim, avg(x) AS m FROM dims GROUP BY 1, 2)
+  GROUP BY cluster_id),
+rc AS (SELECT list(struct_pack(cluster_id := cluster_id, centroid := centroid)) AS cs FROM ref),
+idx AS (
+  SELECT e.vec_id, e.v AS cv,
+    (list_sort(list_transform(rc.cs, c -> struct_pack(
+       d := {_sqd.format(d=EMB_DIM, a="e.v", b="c.centroid")}, cid := c.cluster_id))))[1].cid AS cluster
+  FROM e, rc),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 8),
+probes AS (
+  SELECT query_id, qv, unnest(list_transform(
+    list_sort(list_transform(rc.cs, c -> struct_pack(
+      d := {_sqd.format(d=EMB_DIM, a="qv", b="c.centroid")}, cid := c.cluster_id)))[1:3],
+    p -> p.cid)) AS cluster
+  FROM q, rc),
+cand AS (
+  SELECT probes.query_id, probes.qv, idx.vec_id AS neighbor_id, idx.cv
+  FROM probes JOIN idx ON probes.cluster = idx.cluster AND idx.vec_id <> probes.query_id),
+s AS (SELECT query_id, neighbor_id, round(CASE WHEN {_nq} * {_nc} = 0 THEN 0.0
+  ELSE {_dot} / ({_nq} * {_nc}) END, 5) AS cos FROM cand)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 5
+"""
+
     o["top_parts_by_qty"] = (
         "SELECT p_partkey, p_name, CAST(sum(CAST(l_quantity AS "
         "DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM lineitem JOIN part ON "
@@ -1108,6 +1488,71 @@ def oracle_sql() -> dict[str, str]:
         "SELECT time_bucket(INTERVAL '30 seconds', ts) AS window_start, "
         "user_id, count(*) AS hits, least(count(*) * 500, 20000) AS delay_ms "
         "FROM events GROUP BY 1, 2"
+    )
+
+    # ---- J1–J4 memo-join (left join + corrupt-payload fallback + lineage) ----
+    o["j1_memo_join"] = (
+        "SELECT d.doc_id, CASE WHEN c.val IS NOT NULL THEN c.val "
+        "ELSE sha256(d.text || 'fresh') END AS val, "
+        "c.val IS NOT NULL AS memo_from_cache "
+        "FROM documents d LEFT JOIN ("
+        "SELECT sha256(text) AS k, CASE WHEN doc_id % 9 = 0 THEN NULL "
+        "ELSE sha256(text || 'cached') END AS val FROM documents "
+        "WHERE doc_id % 3 = 0) c ON sha256(d.text) = c.k"
+    )
+
+    # ---- C2 chunk map with per-chunk fallback (translated ?? original) ----
+    _chunk_i = f"substring(text, CAST((i-1)*{CHUNK}+1 AS INT), {CHUNK})"
+    o["c2_chunk_map_fallback"] = (
+        "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+        f"array_to_string(list_transform(generate_series(1, {_nch}), "
+        f"i -> coalesce(CASE WHEN substring({_chunk_i}, 1, 1) = 'a' THEN NULL "
+        f"ELSE '[' || {_chunk_i} || ']' END, {_chunk_i})), '') END AS mapped "
+        "FROM documents"
+    )
+
+    # ---- S6 TXT sink (bytes = UTF-8 of txt-variant normalization) ----
+    o["s6_txt_sink"] = (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, sha256({_txt_norm}) AS out_sha, "
+        "'text/plain' AS mime, 'Document.txt' AS filename FROM documents"
+    )
+
+    # ---- S7 history items (payload + retention cap per owner) ----
+    o["s7_history_items"] = (
+        "WITH r AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS owner, "
+        "source || '/doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS original_name, "
+        "to_timestamp(1700000000 + doc_id * 60) AS ts, "
+        "'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS filename, "
+        "'text/plain' AS mime, "
+        f"base64(encode({_txt_norm})) AS output_b64 FROM documents), "
+        "i AS (SELECT sha256(owner || chr(31) || filename || chr(31) || "
+        "CAST(CAST(epoch(ts) AS BIGINT) AS VARCHAR)) AS id, ts, owner, "
+        "original_name, filename, mime, output_b64 FROM r) "
+        "SELECT id, ts, owner, original_name, filename, mime, output_b64 FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY owner ORDER BY ts DESC, id DESC) "
+        "AS rn FROM i) WHERE rn <= 10"
+    )
+
+    # ---- P4 flagship extraction pipeline (docs-derived span synthesis) ----
+    o["extract_pipeline_synth"] = (
+        "WITH "
+        + _DOCS_SPANS_CTES
+        + ",\nres AS (SELECT doc_id, list_filter(sp, (s, i) -> s.k = 'media' OR ("
+        + _KEEP_SQL
+        + ")) AS sp FROM ft) SELECT doc_id, "
+        + _CANON_SQL.format(sp="sp")
+        + " AS spans_canon FROM res"
+    )
+    o["extract_pipeline_relabel"] = (
+        "WITH "
+        + _DOCS_SPANS_CTES
+        + ",\nres AS (SELECT doc_id, list_transform(sp, (s, i) -> struct_pack("
+        "k := CASE WHEN s.k = 'media' OR ("
+        + _KEEP_SQL
+        + ") THEN s.k ELSE 'boilerplate' END, tx := s.tx, mr := s.mr, o := s.o)) AS sp "
+        "FROM ft) SELECT doc_id, "
+        + _CANON_SQL.format(sp="sp")
+        + " AS spans_canon FROM res"
     )
 
     # ---- TPC-H-ish ----

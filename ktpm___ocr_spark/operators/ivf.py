@@ -109,7 +109,7 @@ def ivf_topk(
     n_clusters: int = 8,
     nprobe: int = 2,
     round_dp: int = 5,
-) -> DataFrame:
+) -> DataFrame:  # dim-free by construction: all arithmetic is zip_with folds
     """Approximate top-k via IVF: probe nprobe clusters, exact rerank."""
     centroids, index = build_ivf_index(corpus, id_col, vec_col, n_clusters)
     qv = queries.select(

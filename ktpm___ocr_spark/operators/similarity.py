@@ -178,14 +178,18 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
     round_dp: int = 5,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing + exact verify.
 
     Self-join restricted to same-bucket pairs (near-identical vectors
     collide with high probability at 8 planes), cosine ≥ threshold.
+    Pass ``dim`` explicitly in pipelines — the fallback probes the first
+    row, which is a driver-side action during plan construction.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col),

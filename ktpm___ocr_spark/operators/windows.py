@@ -56,6 +56,54 @@ def history_top_n(
     return top_n_per_key(df, owner, ts, n, tiebreak=id_col, desc=True)
 
 
+def history_items(
+    df: DataFrame,
+    owner: str = "owner",
+    ts: str = "ts",
+    original_name: str = "original_name",
+    filename: str = "filename",
+    mime: str = "mime",
+    output: str = "output",
+    retention: int = HISTORY_RETENTION,
+) -> DataFrame:
+    """S7 history *item* sink — the reference's per-user durable payload
+    (``utils/history.js:13-29``: ``{id, ts, owner, originalName, filename,
+    mime, outputBase64}``), retention-capped to the newest ``retention``
+    per owner (``history.js:6,24`` — ``lTrim(0,199)``).
+
+    The reference's ``id`` is a uuid; the batch engine derives it
+    content-addressed (sha256 of owner␟filename␟ts) so re-runs are
+    idempotent — same conversion, same history row. ``outputBase64`` is
+    canonical unwrapped base64 (Spark MIME-wraps at 76 chars; stripped).
+    """
+    b64 = F.regexp_replace(F.base64(F.col(output)), "\r\n", "")
+    # id hashes epoch SECONDS (not a rendered timestamp string) so the
+    # identity is engine/timezone-format independent
+    items = df.select(
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                F.col(owner),
+                F.col(filename),
+                F.col(ts).cast("long").cast("string"),
+            ),
+            256,
+        ).alias("id"),
+        F.col(ts).alias("ts"),
+        F.col(owner).alias("owner"),
+        F.col(original_name).alias("original_name"),
+        F.col(filename).alias("filename"),
+        F.col(mime).alias("mime"),
+        b64.alias("output_b64"),
+    )
+    w = Window.partitionBy("owner").orderBy(F.desc("ts"), F.desc("id"))
+    return (
+        items.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= retention)
+        .drop("rn")
+    )
+
+
 def rate_window_counts(
     df: DataFrame, ts: str, key: str, window: str = "60 seconds"
 ) -> DataFrame:
