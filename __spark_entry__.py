@@ -568,7 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q1"] = tpch_q1
 
     def tpch_q3ish(spark, sf):
-        """Top-10 orders by revenue — broadcast dims, decimal-exact revenue."""
+        """Top-10 orders by revenue, decimal-exact. No broadcast hint on
+        orders: it grows linearly with SF (forcing it at 100 TB would
+        drive a driver-side collect → OOM). AQE broadcasts it at runtime
+        while it fits the threshold and falls back to shuffle join beyond."""
         orders = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
         rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -576,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             - F.col("l_discount").cast("decimal(18,2)")
         )
         g = (
-            li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("o_orderkey", "o_orderpriority")
             .agg(F.sum(rev).alias("_rev"))
         )
@@ -928,8 +931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = li.groupBy("l_partkey").agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
         )
+        # part grows with SF — no hint; AQE broadcasts while it fits
         return (
-            g.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            g.join(part, F.col("l_partkey") == F.col("p_partkey"))
             .select(
                 "p_partkey", "p_name", F.col("_q").cast("double").alias("total_qty")
             )
@@ -1000,6 +1004,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["convert_pipeline"] = convert_pipeline
 
+    def convert_docs(spark, sf):
+        """End-to-end convert pipeline (J5 dedup → P4 extraction → C1-C3
+        translate chunking → S6 TXT export with P12 key priority) over the
+        docs-derived span synthesis — fully DuckDB-oracle-checked, byte
+        identity of the exported output included (sha256)."""
+        from ktpm___ocr_spark.operators.document_pipeline import convert_batch
+
+        results, _ = convert_batch(
+            _docs_spans_df(spark, sf), target_lang="vie", output_format="txt"
+        )
+        return results.select(
+            "doc_id",
+            "text_hash",
+            "translated_hash",
+            "export_key",
+            "mime",
+            "filename",
+            "e2e_from_cache",
+            F.sha2(F.col("output"), 256).alias("out_sha"),
+        )
+
+    q["convert_pipeline_docs"] = convert_docs
+
     def revenue_by_nation(spark, sf):
         cust = _t(spark, sf, "customer")
         nation = _t(spark, sf, "nation")
@@ -1009,9 +1036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(1).cast("decimal(18,2)")
             - F.col("l_discount").cast("decimal(18,2)")
         )
+        # hint ONLY the genuinely tiny fixed-size dim (nation: 25 rows at
+        # every SF). orders/customer scale with the data — AQE decides for
+        # them from runtime sizes instead of a hint that forces a
+        # driver-side collect at 100×.
         j = (
-            li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         )
         return (
@@ -1553,6 +1584,35 @@ WHERE rn <= 5
         "FROM ft) SELECT doc_id, "
         + _CANON_SQL.format(sp="sp")
         + " AS spans_canon FROM res"
+    )
+
+    # ---- end-to-end convert pipeline over the docs-derived synthesis ----
+    # raw_hash = spans_content_hash (offset-sorted canon, trailing ␞ per
+    # span); e2e key/flags per cacheFilter.js; extraction reuses the
+    # flagship CTEs; identity translate; TXT export bytes hashed.
+    _canon_raw = (
+        "sha256(array_to_string(list_transform(sp, s -> coalesce(s.k,'') || chr(31) || "
+        "coalesce(s.tx,'') || chr(31) || coalesce(s.mr,'') || chr(31) || "
+        "CAST(s.o AS VARCHAR) || chr(30)), ''))"
+    )
+    o["convert_pipeline_docs"] = (
+        "WITH " + _DOCS_SPANS_CTES + ",\n"
+        "rh AS (SELECT doc_id, " + _canon_raw + " AS raw_hash FROM srt),\n"
+        "ek AS (SELECT doc_id, sha256(raw_hash || chr(31) || 'vi' || chr(31) || 'txt') AS e2e_key FROM rh),\n"
+        "flags AS (SELECT doc_id, row_number() OVER (PARTITION BY e2e_key ORDER BY doc_id) > 1 AS e2e_from_cache FROM ek),\n"
+        "res AS (SELECT doc_id, list_filter(sp, (s, i) -> s.k = 'media' OR ("
+        + _KEEP_SQL
+        + ")) AS sp FROM ft),\n"
+        "txt AS (SELECT doc_id, coalesce(array_to_string(list_transform("
+        "list_filter(sp, s -> s.k = 'text'), s -> s.tx), chr(10)), '') AS text FROM res),\n"
+        "vals AS (SELECT doc_id, sha256(text) AS text_hash, "
+        "CASE WHEN trim(text) = '' THEN NULL ELSE sha256(text) END AS translated_hash, "
+        "sha256(" + _txt_norm + ") AS out_sha FROM txt)\n"
+        "SELECT v.doc_id, v.text_hash, v.translated_hash, "
+        "coalesce(v.translated_hash, v.text_hash) AS export_key, "
+        "'text/plain' AS mime, 'doc-' || CAST(v.doc_id AS VARCHAR) || '.txt' AS filename, "
+        "f.e2e_from_cache, v.out_sha "
+        "FROM vals v JOIN flags f ON v.doc_id = f.doc_id"
     )
 
     # ---- TPC-H-ish ----

@@ -28,11 +28,25 @@ def test_column_pruning_reads_only_needed(spark, sf01_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
 
 
-def test_revenue_by_nation_uses_broadcast_joins(spark, sf01_dir):
+def test_revenue_by_nation_broadcasts_via_aqe_not_hints(spark, sf01_dir):
+    """Scale-safety: only the fixed-size nation dim is HINTED; orders and
+    customer must be left to AQE (a hint would force a driver collect at
+    100× SF). At this SF the physical plan still ends up all-broadcast —
+    proving Catalyst picks it from runtime sizes, not because we forced it."""
     df = em.queries()["revenue_by_nation"](spark, sf01_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed  # nation only
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q3_has_no_broadcast_hint_on_orders(spark, sf01_dir):
+    df = em.queries()["tpch_q3_top_orders"](spark, sf01_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    df2 = em.queries()["top_parts_by_qty"](spark, sf01_dir)
+    assert "ResolvedHint" not in df2._jdf.queryExecution().analyzed().toString()
 
 
 def test_whole_stage_codegen_covers_q1(spark, sf01_dir):
