@@ -532,6 +532,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_stub"] = multimodal
 
+    def mm_frames(spark, sf):
+        media = _t(spark, sf, "documents").select(
+            F.concat(
+                F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".png")
+            ).alias("media_ref")
+        )
+        return mm.frame_sample_refs(media, n_frames=4).select(
+            "media_ref",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "frame_ref",
+        )
+
+    q["multimodal_frames"] = mm_frames
+
     # ---------------- TPC-H-ish relational queries ----------------
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem").filter(
@@ -1344,6 +1358,13 @@ def oracle_sql() -> dict[str, str]:
         "AS INT) AS width, "
         "CAST(CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 1080 + 1 "
         "AS INT) AS height FROM documents"
+    )
+
+    o["multimodal_frames"] = (
+        "SELECT media_ref, i AS frame_idx, media_ref || '#frame=' || "
+        "CAST(i AS VARCHAR) AS frame_ref FROM (SELECT source || '/' || "
+        "CAST(doc_id AS VARCHAR) || '.png' AS media_ref FROM documents), "
+        "unnest(generate_series(0, 3)) AS t(i)"
     )
 
     o["s2_mime_filter"] = (
