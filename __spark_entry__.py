@@ -880,6 +880,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["set_ops_nations"] = set_ops
 
+    # ---------------- grouping sets / semi-anti joins / ranking windows ----------------
+    def grouping_sets(spark, sf):
+        _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+        return spark.sql(
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders_v "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+        )
+
+    q["grouping_sets_orders"] = grouping_sets
+
+    def semi_anti(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        semi = (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey")
+            .withColumn("src", F.lit("has_orders"))
+        )
+        anti = (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey")
+            .withColumn("src", F.lit("no_orders"))
+        )
+        return semi.unionByName(anti)
+
+    q["semi_anti_customers"] = semi_anti
+
+    def rank_windows(spark, sf):
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.cume_dist().over(w), 5).alias("cd"),
+            F.lag("event_id").over(w).alias("prev_event"),
+        )
+
+    q["rank_windows_events"] = rank_windows
+
     # ---------------- sessionization (stream/batch-parity operator) ----------------
     def sessionize(spark, sf):
         _utc(spark)
@@ -1526,6 +1569,24 @@ WHERE rn <= 5
         "SELECT nk, 'both' AS src FROM (SELECT nk FROM c INTERSECT SELECT "
         "nk FROM s) UNION ALL SELECT nk, 'cust_only' AS src FROM "
         "(SELECT nk FROM c EXCEPT SELECT nk FROM s)"
+    )
+    o["grouping_sets_orders"] = (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    )
+    o["semi_anti_customers"] = (
+        "SELECT c_custkey, 'has_orders' AS src FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "UNION ALL "
+        "SELECT c_custkey, 'no_orders' AS src FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    )
+    o["rank_windows_events"] = (
+        "SELECT event_id, event_type, "
+        "rank() OVER w AS rnk, ntile(4) OVER w AS quartile, "
+        "round(cume_dist() OVER w, 5) AS cd, "
+        "lag(event_id) OVER w AS prev_event FROM events "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"
     )
     o["sessionize"] = (
         "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "

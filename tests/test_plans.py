@@ -57,6 +57,18 @@ def test_whole_stage_codegen_covers_q1(spark, sf01_dir):
     assert "*(1)" in plan and "HashAggregate" in plan, plan
 
 
+def test_arrow_native_bench_job_has_no_exchange(spark, sf01_dir):
+    """The benched extraction path must stay scan→mapInArrow→sink: zero
+    wide edges, like the narrow plan — the N→4N scaling argument rests on
+    this (nothing in the plan grows with cluster size)."""
+    from ktpm___ocr_spark.operators.arrow_native import extract_arrow_native
+    from ktpm___ocr_spark.sources.generator import synth_corpus
+
+    df = extract_arrow_native(synth_corpus(spark, 100, seed=42))
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
 def test_aqe_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
