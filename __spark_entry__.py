@@ -964,6 +964,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_pipeline_gencorpus"] = extract_gencorpus
 
+    def s8_checkpoint(spark, sf):
+        """S8 manifest-committed run: the checkpointed bucket-partitioned
+        execution must produce EXACTLY the flagship extraction output
+        (same oracle) — one staged write, per-bucket commits, then read
+        back through the manifest."""
+        import shutil
+        import tempfile
+
+        from ktpm___ocr_spark.metrics import CheckpointedRun
+
+        out_dir = tempfile.mkdtemp(prefix="ktpm_ckpt_")
+        try:
+            run = CheckpointedRun(spark, out_dir, n_buckets=8)
+            run.run(_docs_spans_df(spark, sf), extract_narrow)
+            result = run.result().select(
+                "doc_id", _spans_canon(F.col("spans")).alias("spans_canon")
+            )
+            # materialize before the temp dir disappears
+            rows = result.collect()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        return spark.createDataFrame(rows, result.schema)
+
+    q["s8_checkpoint_resume"] = s8_checkpoint
+
+    def s8_metrics(spark, sf):
+        """S8/A2 lineage metrics: per-stage row counts from Observation —
+        deterministic, hash-checked against SQL-computed counts."""
+        from ktpm___ocr_spark.metrics import run_with_metrics
+
+        result, metrics_fn = run_with_metrics(
+            spark,
+            {
+                "extract": lambda df: extract_narrow(df),
+                "flatten": lambda df: df.select(
+                    "doc_id", F.explode("spans").alias("s")
+                ),
+            },
+            _docs_spans_df(spark, sf),
+            run_id="r2",
+        )
+        result.count()  # action materializes the observations
+        return metrics_fn().select("run_id", "stage", "rows")
+
+    q["s8_run_metrics"] = s8_metrics
+
     def lsh_ann(spark, sf):
         emb = _t(spark, sf, "embeddings")
         # dim passed explicitly (EMB_DIM): no driver-side .first() probe
@@ -1656,6 +1702,28 @@ WHERE rn <= 5
         + _CANON_SQL.format(sp="sp")
         + " AS spans_canon FROM res"
     )
+    # S8: checkpointed run must equal the flagship extraction byte-for-byte
+    o["s8_checkpoint_resume"] = (
+        "WITH "
+        + _DOCS_SPANS_CTES
+        + ",\nres AS (SELECT doc_id, list_filter(sp, (s, i) -> s.k = 'media' OR ("
+        + _KEEP_SQL
+        + ")) AS sp FROM ft) SELECT doc_id, "
+        + _CANON_SQL.format(sp="sp")
+        + " AS spans_canon FROM res"
+    )
+    # S8/A2: observation row counts — extract emits one row per doc,
+    # flatten one row per surviving span
+    o["s8_run_metrics"] = (
+        "WITH "
+        + _DOCS_SPANS_CTES
+        + ",\nres AS (SELECT doc_id, list_filter(sp, (s, i) -> s.k = 'media' OR ("
+        + _KEEP_SQL
+        + ")) AS sp FROM ft) "
+        "SELECT 'r2' AS run_id, 'extract' AS stage, count(*) AS rows FROM res "
+        "UNION ALL SELECT 'r2', 'flatten', CAST(coalesce(sum(len(sp)), 0) AS BIGINT) FROM res"
+    )
+
     o["extract_pipeline_relabel"] = (
         "WITH "
         + _DOCS_SPANS_CTES

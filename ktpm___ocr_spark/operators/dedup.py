@@ -200,32 +200,43 @@ def simhash64(text) -> F.Column:
     contributes +1/−1; the fingerprint takes the sign of each bit-sum.
     Bitstring output (not int64) avoids sign-bit pitfalls and compares
     identically everywhere.
+
+    Physical shape: ONE fold over the word-hash list accumulating a
+    64-element sum array (``zip_with`` add), instead of 64 independent
+    folds that each rescan every word — same integer math bit for bit
+    (pinned by the DuckDB oracle, which still uses the 64-expression
+    formulation), ~2× less work per row.
     """
     hexes = F.transform(
         words_array(text), lambda w: F.substring(F.sha2(w, 256), 1, 16)
     )
 
-    def bit_sum(hx, b: int) -> F.Column:
-        pos = 16 - b // 4  # 1-based hex char holding bit b (little-endian)
-        shift = 2 ** (b % 4)
-        return F.aggregate(
-            hx,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.floor(_hex_digit_val(h, pos) / shift) % 2 == 1, F.lit(1)
+    def bit_contribs(h) -> F.Column:
+        # 64-element ±1 array for one word (b: 0..63; hex char 16 - b//4
+        # holds bit b little-endian; shift = 2^(b%4))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda b: F.when(
+                F.floor(
+                    _hex_digit_val(h, (F.lit(16) - F.floor(b / 4)).cast("int"))
+                    / F.pow(F.lit(2.0), (b % 4).cast("double"))
+                )
+                % 2
+                == 1,
+                F.lit(1),
             ).otherwise(F.lit(-1)),
         )
 
-    # let-bound: the per-word sha256 list is computed once, not 64 times
-    return let(
+    sums = F.aggregate(
         hexes,
-        lambda hx: F.concat(
-            *[
-                F.when(bit_sum(hx, b) > 0, F.lit("1")).otherwise(F.lit("0"))
-                for b in range(SIMHASH_BITS)
-            ]
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bit_contribs(h), lambda a, c: a + c),
+    )
+    return F.array_join(
+        F.transform(
+            sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
         ),
+        "",
     )
 
 
