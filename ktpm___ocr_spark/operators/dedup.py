@@ -60,23 +60,32 @@ def minhash_signature(text, k: int = MINHASH_K) -> F.Column:
     """Array of k minhash values (sha256-hex prefixes, lexicographic min).
 
     ``let``-bound so the shingle set is computed once, not k times.
+    Physical shape: ONE fold over the shingle set accumulating the
+    k-element running-min array (``zip_with least``) — identical sha256
+    count, but no k intermediate per-permutation hash arrays and a single
+    pass over the shingles (same single-fold trick as ``simhash64``; the
+    DuckDB oracle keeps the per-permutation formulation and stays
+    hash-equal).
     """
     return let(
         shingles(text),
         lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.substring(
-                F.array_min(
+            F.aggregate(
+                sh,
+                # sentinel sorts after any lowercase-hex sha256 string
+                F.array_repeat(F.lit("￿"), k),
+                lambda acc, s: F.zip_with(
+                    acc,
                     F.transform(
-                        sh,
-                        lambda s: F.sha2(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda i: F.sha2(
                             F.concat_ws("\x1f", i.cast("string"), s), 256
                         ),
-                    )
+                    ),
+                    lambda a, h: F.least(a, h),
                 ),
-                1,
-                SIG_PREFIX,
             ),
+            lambda m: F.substring(m, 1, SIG_PREFIX),
         ),
     )
 
