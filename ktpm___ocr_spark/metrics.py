@@ -98,7 +98,7 @@ class CheckpointedRun:
         with open(self.manifest_path) as f:
             return {e["bucket"] for e in json.load(f)["entries"]}
 
-    def _commit(self, bucket: int, rows: int) -> None:
+    def _commit(self, bucket: int, rows: int, n_bytes: int = 0) -> None:
         entries = []
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
@@ -107,6 +107,7 @@ class CheckpointedRun:
             {
                 "bucket": bucket,
                 "rows": rows,
+                "bytes": n_bytes,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "snapshot_id": uuid.uuid4().hex,
             }
@@ -178,7 +179,12 @@ class CheckpointedRun:
                     self.spark.createDataFrame([], empty_schema).write.mode(
                         "overwrite"
                     ).parquet(dst)
-                self._commit(b, int(counts.get(b, 0)))
+                n_bytes = sum(
+                    os.path.getsize(os.path.join(dst, fn))
+                    for fn in os.listdir(dst)
+                    if fn.endswith(".parquet")
+                )
+                self._commit(b, int(counts.get(b, 0)), n_bytes)
                 done.append(b)
                 if fail_after is not None and len(done) >= fail_after:
                     raise RuntimeError(

@@ -33,6 +33,13 @@ def test_resume_after_injected_failure(spark, docs, tmp_path_factory):
     done = resumed.run(docs, extract_narrow)
     assert len(done) == 5
     assert resumed.committed() == set(range(8))
+    # every manifest entry carries per-partition lineage: rows + bytes
+    import json as _json
+
+    with open(resumed.manifest_path) as f:
+        entries = _json.load(f)["entries"]
+    assert all("bytes" in e and e["bytes"] >= 0 for e in entries)
+    assert sum(e["rows"] for e in entries) == docs.count()
 
     clean = CheckpointedRun(spark, out2, n_buckets=8)
     clean.run(docs, extract_narrow)
