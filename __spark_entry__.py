@@ -490,6 +490,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_clusters(spark, sf):
+        """Near-dup pairs → exact duplicate clusters (connected components
+        by min-label propagation; cluster_id = smallest member doc_id)."""
+        d = _t(spark, sf, "documents")
+        pairs = dd.minhash_near_dups(d, "doc_id", "text", threshold=0.4)
+        cc = dd.connected_components(pairs)
+        return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+    q["dedup_clusters"] = dedup_clusters
+
+    def dedup_keep_canonical(spark, sf):
+        """One representative per duplicate cluster: highest quality score,
+        ties to the smallest doc_id — the actual 'drop the dups' decision
+        a training-data pipeline makes after clustering."""
+        d = _t(spark, sf, "documents")
+        pairs = dd.minhash_near_dups(d, "doc_id", "text", threshold=0.4)
+        cc = dd.connected_components(pairs)
+        return dd.keep_canonical(d, cc).orderBy("cluster_id")
+
+    q["dedup_keep_canonical"] = dedup_keep_canonical
+
     # ---------------- similarity: ANN brute force + near-dup pairs ----------------
     def ann_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1315,14 +1336,14 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN len({_words}) = 0 THEN 0.0 ELSE CAST(list_sum("
         f"list_transform({_words}, w -> length(w))) AS DOUBLE) / len({_words}) END"
     )
-    o["text_quality"] = (
-        "SELECT doc_id, round("
+    _quality = (
+        "round("
         f"0.3 * least(CAST(coalesce(length(text), 0) AS DOUBLE) / 500.0, 1.0) + "
         f"0.3 * least({_stop_ratio} / 0.4, 1.0) + "
         f"0.2 * (1.0 - least({_punct_ratio} / 0.2, 1.0)) + "
-        f"0.2 * (1.0 - least(abs({_mean_wl} - 5.0) / 5.0, 1.0)), 4) "
-        "AS quality FROM documents"
+        f"0.2 * (1.0 - least(abs({_mean_wl} - 5.0) / 5.0, 1.0)), 4)"
     )
+    o["text_quality"] = f"SELECT doc_id, {_quality} AS quality FROM documents"
     _whash = "CAST(('0x' || substr(sha256(w), 1, 15)) AS BIGINT)"
     o["text_fingerprint"] = (
         "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -1346,21 +1367,51 @@ def oracle_sql() -> dict[str, str]:
         f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents) "
         f"SELECT doc_id, array_to_string({_sig}, ',') AS sig FROM s"
     )
-    o["dedup_minhash_pairs"] = (
-        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
+    # minhash band/candidate CTEs shared by pairs, clusters, and canonical-keep
+    _mh_ctes = (
+        f"s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
         f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
         "bands AS (SELECT doc_id, sh, b AS band_idx, sha256(sg[b*4+1] || "
         "chr(31) || sg[b*4+2] || chr(31) || sg[b*4+3] || chr(31) || sg[b*4+4]) "
         "AS band_hash FROM sig, unnest([0,1,2,3]) AS t(b)), "
         "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
         "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "
-        "r.band_hash AND l.doc_id < r.doc_id) "
+        "r.band_hash AND l.doc_id < r.doc_id)"
+    )
+    _mh_pairs_sel = (
         "SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, round(CASE WHEN "
         "len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0 ELSE "
         "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
         "len(list_distinct(list_concat(sa.sh, sb.sh))) END, 4) AS jaccard "
         "FROM cand JOIN s sa ON cand.id_a = sa.doc_id JOIN s sb ON "
         "cand.id_b = sb.doc_id) WHERE jaccard >= 0.4"
+    )
+    o["dedup_minhash_pairs"] = f"WITH {_mh_ctes} {_mh_pairs_sel}"
+    # connected components = transitive closure (recursive CTE), component
+    # id = smallest reachable node — mirrors dedup.connected_components'
+    # min-label-propagation fixpoint exactly.
+    _cc_ctes = (
+        f"{_mh_ctes}, p AS ({_mh_pairs_sel}), "
+        "e AS (SELECT id_a AS u, id_b AS v FROM p "
+        "UNION SELECT id_b, id_a FROM p), "
+        "reach(u, v) AS (SELECT u, v FROM e UNION "
+        "SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), "
+        "comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id "
+        "FROM reach GROUP BY u)"
+    )
+    o["dedup_clusters"] = (
+        f"WITH RECURSIVE {_cc_ctes} SELECT doc_id, cluster_id FROM comp"
+    )
+    o["dedup_keep_canonical"] = (
+        f"WITH RECURSIVE {_cc_ctes}, "
+        "m AS (SELECT comp.cluster_id, d.doc_id AS member_id, "
+        f"{_quality} AS rank FROM comp JOIN documents d "
+        "ON comp.doc_id = d.doc_id) "
+        "SELECT cluster_id, keep_id, keep_rank, n_members FROM ("
+        "SELECT cluster_id, member_id AS keep_id, rank AS keep_rank, "
+        "count(*) OVER (PARTITION BY cluster_id) AS n_members, "
+        "row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY rank DESC, member_id) AS rn FROM m) WHERE rn = 1"
     )
 
     # simhash: 64 explicit bit expressions mirroring simhash64()

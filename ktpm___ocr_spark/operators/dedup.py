@@ -193,6 +193,131 @@ def minhash_near_dups(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """Exact connected components over an undirected edge list.
+
+    Returns ``(node, cluster_id)`` for every node that appears in at least
+    one edge, where ``cluster_id`` is the smallest node id in the
+    component. This is the step that turns pairwise near-dup *candidates*
+    (minhash/simhash/embedding pairs) into duplicate *clusters* from which
+    one canonical document is kept — the actual dedup action on a corpus.
+
+    Algorithm: min-label propagation. Every node starts with
+    ``min(self, min(neighbors))`` and each round takes the min of its own
+    label and its neighbors' labels; fixpoint = component minimum. One
+    equi-join + groupBy shuffle per round, both keyed on node id (uniform,
+    AQE-splittable); rounds needed = max graph distance from each
+    component's min node, i.e. O(diameter). Near-dup graphs from LSH are
+    dense small clusters (diameter ≲ 3), so this converges in a handful of
+    rounds; for adversarial long-chain graphs at web scale, the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) converges
+    in O(log^2 n) rounds with the same per-round shuffle shape and is the
+    drop-in upgrade. Each generation is eagerly ``localCheckpoint``-ed:
+    plain persist is NOT enough for iterative plans — the cache is only
+    matched at physical planning, so the *analyzed* tree still doubles per
+    round (each generation references the previous twice) and Catalyst
+    OOMs on the exponential tree long before execution; checkpointing
+    truncates the lineage to the materialized blocks. On a real cluster
+    with executor loss in play, swap localCheckpoint for reliable
+    ``checkpoint()`` against the job's checkpoint dir (the same durability
+    story as metrics.CheckpointedRun). Raises if ``max_iter`` rounds do
+    not reach the fixpoint (never silently returns partial clusters).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select("u", F.least(F.col("u"), F.col("m")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, "u")
+                .groupBy(F.col("v").alias("u"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: F.Column | None = None,
+) -> DataFrame:
+    """Pick one representative per duplicate cluster.
+
+    ``clusters`` is ``(node, cluster_id)`` from :func:`connected_components`.
+    Representative = highest ``rank_col`` (default: document quality score,
+    rounded to 4 dp so the ordering is engine-portable), ties broken by
+    smallest id. Returns one row per cluster:
+    ``(cluster_id, keep_id, keep_rank, n_members)``.
+
+    Scale shape: inner join on id (clustered docs only — the overwhelming
+    non-duplicate majority never enters the shuffle), then a single
+    groupBy on cluster_id using a max-of-struct ordering instead of a
+    window (no sort, pure hash aggregate with map-side partials).
+    """
+    from pyspark.sql import Window  # noqa: F401  (documented alternative)
+    from ktpm___ocr_spark.functions.textstats import quality_score
+
+    if rank_col is None:
+        rank_col = quality_score("text")
+    member = docs.join(clusters, docs[id_col] == clusters["node"]).select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("member_id"),
+        rank_col.alias("rank"),
+    )
+    # argmax via max(struct(rank, -id)): higher rank wins, then smaller id.
+    best = member.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("rank"), (-F.col("member_id")).alias("neg_id"))).alias(
+            "best"
+        ),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).alias("keep_id"),
+        F.col("best.rank").alias("keep_rank"),
+        "n_members",
+    )
+
+
 # ---------------------------------------------------------------- simhash
 SIMHASH_BITS = 64
 

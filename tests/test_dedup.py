@@ -6,8 +6,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from ktpm___ocr_spark.operators.dedup import (
+    connected_components,
     exact_dup_groups,
     hamming_bitstr,
+    keep_canonical,
     minhash_near_dups,
     minhash_signature,
     ngram_jaccard,
@@ -95,3 +97,56 @@ def test_simhash_near_dups_exact_pairs(spark, docs):
         for r in simhash_near_dups(docs, "id", "text", max_hamming=3).collect()
     }
     assert got[(1, 2)] == 0
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        (r["node"]): r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_connected_components_two_clusters(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # max-distance-from-min chain: needs several propagation rounds
+    got = _cc(spark, [(i, i + 1) for i in range(1, 9)])
+    assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_connected_components_bridged(spark):
+    # two dense clusters bridged by one edge collapse into one component
+    got = _cc(spark, [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (3, 7)])
+    assert set(got.values()) == {1}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_keep_canonical_quality_then_id(spark):
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: 2 has the longest/best text, so it wins
+            (1, "short text"),
+            (2, "the longer and better quality text with many common words "
+                "that is clearly the one to keep for training data"),
+            (3, "short text"),
+            # cluster {10,11}: identical text — tie broken by smaller id
+            (10, "same same"),
+            (11, "same same"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, cluster_id long"
+    )
+    got = {r["cluster_id"]: r for r in keep_canonical(docs, clusters).collect()}
+    assert got[1]["keep_id"] == 2 and got[1]["n_members"] == 3
+    assert got[10]["keep_id"] == 10 and got[10]["n_members"] == 2
