@@ -176,6 +176,12 @@ _CANON_SQL = (
 )
 
 
+import itertools
+
+# unique memory-sink names per streaming invocation within one session
+_STREAM_SEQ = itertools.count()
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -953,6 +959,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = sessionize
 
+    def _run_stream(spark, sdf, name):
+        """Drain a finite stream (availableNow) into a memory sink and
+        return the completed result as a batch frame. The driver gets the
+        exact batch semantics — stream/batch parity is the point."""
+        n = f"{name}_{next(_STREAM_SEQ)}"
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(n)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        return spark.table(n)
+
+    def _events_stream_dir(sf):
+        """File-source streams need a directory; stage one holding a
+        symlink to the events parquet (zero-copy, deterministic data)."""
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(
+            os.path.join(sf, "events.parquet"), os.path.join(d, "events.parquet")
+        )
+        return d
+
+    def stream_rate_windows_q(spark, sf):
+        """W4 as a genuine Structured Streaming job: file source →
+        watermarked tumbling-window counts → memory sink, drained with
+        availableNow. Same oracle as the batch W4."""
+        _utc(spark)
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        src = sj.read_events_stream(spark, _events_stream_dir(sf))
+        return _run_stream(spark, sj.stream_rate_windows(src), "stream_w4")
+
+    q["stream_rate_windows"] = stream_rate_windows_q
+
+    def stream_counters_q(spark, sf):
+        """A2 as a stream: running per-stage metric counters."""
+        _utc(spark)
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        src = sj.read_events_stream(spark, _events_stream_dir(sf))
+        return _run_stream(spark, sj.stream_stage_counters(src), "stream_a2")
+
+    q["stream_counters"] = stream_counters_q
+
     # ---------------- flagship: full extraction pipeline, hash-checked ----------------
     def extract_synth(spark, sf):
         """P4 flagship: docs-derived span synthesis → extract_narrow
@@ -1294,6 +1348,14 @@ def oracle_sql() -> dict[str, str]:
     o["w4_rate_windows"] = (
         "SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start, "
         "user_id, count(*) AS n FROM events GROUP BY 1, 2"
+    )
+    # streaming queries drain availableNow into a memory sink — on finite
+    # input the result is exactly the batch aggregation, so the batch SQL
+    # is the oracle (stream/batch parity).
+    o["stream_rate_windows"] = o["w4_rate_windows"]
+    o["stream_counters"] = (
+        "SELECT 'metrics:' || event_type AS metric, count(*) AS n "
+        "FROM events GROUP BY 1"
     )
     o["a4_success_failed"] = (
         "SELECT CASE WHEN event_type IN ('error') THEN 'failed' ELSE "
