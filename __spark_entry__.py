@@ -959,7 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = sessionize
 
-    def _run_stream(spark, sdf, name):
+    def _run_stream(spark, sdf, name, mode="complete"):
         """Drain a finite stream (availableNow) into a memory sink and
         return the completed result as a batch frame. The driver gets the
         exact batch semantics — stream/batch parity is the point."""
@@ -967,7 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = (
             sdf.writeStream.format("memory")
             .queryName(n)
-            .outputMode("complete")
+            .outputMode(mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -1006,6 +1006,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _run_stream(spark, sj.stream_stage_counters(src), "stream_a2")
 
     q["stream_counters"] = stream_counters_q
+
+    def stream_user_totals_q(spark, sf):
+        """Custom stateful operator (applyInPandasWithState): per-user
+        running totals carried in GroupState. Final emissions on a drained
+        finite stream equal the batch aggregate (cross-batch state is
+        pinned by tests/test_streaming.py with maxFilesPerTrigger=1)."""
+        _utc(spark)
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        src = sj.read_events_stream(spark, _events_stream_dir(sf))
+        res = _run_stream(
+            spark, sj.stream_user_totals_stateful(src), "stream_totals", mode="update"
+        )
+        # update mode emits once per (user, batch); keep the final (max —
+        # both fields are monotone) emission per user
+        return res.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_ts_epoch").alias("max_ts_epoch"),
+        )
+
+    q["stream_user_totals"] = stream_user_totals_q
 
     # ---------------- flagship: full extraction pipeline, hash-checked ----------------
     def extract_synth(spark, sf):
@@ -1355,6 +1376,13 @@ def oracle_sql() -> dict[str, str]:
     o["stream_rate_windows"] = o["w4_rate_windows"]
     o["stream_counters"] = (
         "SELECT 'metrics:' || event_type AS metric, count(*) AS n "
+        "FROM events GROUP BY 1"
+    )
+    o["stream_user_totals"] = (
+        "SELECT user_id, count(*) AS n_events, "
+        # floor, not CAST-round: pandas' int64-ns floor is the Spark-side
+        # semantics for fractional-second timestamps
+        "CAST(floor(max(epoch(ts))) AS BIGINT) AS max_ts_epoch "
         "FROM events GROUP BY 1"
     )
     o["a4_success_failed"] = (

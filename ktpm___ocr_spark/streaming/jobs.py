@@ -48,6 +48,54 @@ def stream_stage_counters(
     )
 
 
+USER_TOTALS_OUTPUT = (
+    "user_id long, n_events long, max_ts_epoch long"
+)
+USER_TOTALS_STATE = "n long, max_ts long"
+
+
+def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + latest event time, carried in GroupState across
+    micro-batches (the shape W5's progressive throttle needs — the delay
+    decision is a function of exactly this running state).
+
+    Outputs exact integers only (count, epoch seconds) so results are
+    engine-portable. Each batch emits the user's updated running totals;
+    on a finite drained stream the *last* emission per user equals the
+    batch aggregate (tests take max, which is equivalent since both fields
+    are monotone).
+
+    Scale shape: state is shuffled by user_id once per micro-batch and
+    lives in the state store (RocksDB on a real cluster); per-group work
+    is a vectorized pandas sum/max, no per-row Python.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, max_ts = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            if len(pdf):
+                batch_max = int(
+                    pd.to_datetime(pdf["ts"]).astype("int64").max() // 10**9
+                )
+                max_ts = max(max_ts, batch_max)
+        state.update((n, max_ts))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "max_ts_epoch": max_ts}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_OUTPUT,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap: str = "5 minutes", ts: str = "ts", key: str = "user_id"
 ) -> DataFrame:

@@ -73,3 +73,58 @@ def test_sessionize_batch_sane(spark, events_dir):
     # sessions per user ≥ 1 and start bounded by user's event range
     per_user = sess.groupBy("user_id").count()
     assert per_user.filter("count < 1").count() == 0
+
+
+def test_stateful_user_totals_across_batches(spark, events_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    split the input into two files, force one file per trigger, and check
+    the final emissions equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        stream_user_totals_stateful,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    d = tmp_path / "two_files"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "a.parquet")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "b.parquet")
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*/")
+    )
+    q = (
+        stream_user_totals_stateful(src)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("user_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_ts_epoch").alias("max_ts_epoch"),
+        )
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        # ts is TIMESTAMP_NTZ in the source parquet: NTZ→long is disallowed,
+        # go via timestamp (session TZ is UTC, matching pandas' naive epoch)
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("max_ts_epoch"),
+    )
+    g = {r["user_id"]: (r["n_events"], r["max_ts_epoch"]) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], r["max_ts_epoch"]) for r in want.collect()}
+    assert g == w
+    # state genuinely crossed batches: at least two emissions for some user
+    emissions = spark.table("user_totals").groupBy("user_id").count()
+    assert emissions.agg(F.max("count")).first()[0] >= 2
