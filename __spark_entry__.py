@@ -453,6 +453,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", textstats.fingerprint("text").alias("fp")
     )
 
+    # The synthetic corpus contains no PII/URLs, so these two queries
+    # append deterministic doc_id-derived specimens (same expression in
+    # the oracle) — the operator visibly fires on every row.
+    def _with_pii(doc_id, text):
+        return F.concat_ws(
+            " ",
+            text,
+            F.concat(F.lit("user"), doc_id.cast("string"), F.lit("@mail.example.com")),
+            F.concat(F.lit("10."), (doc_id % 256).cast("string"), F.lit(".0.7")),
+            F.lit("+1 555 0100"),
+        )
+
+    q["text_pii_redact"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        textstats.pii_redact(_with_pii(F.col("doc_id"), F.col("text"))).alias(
+            "clean"
+        ),
+    )
+
+    def text_domains(spark, sf):
+        d = _t(spark, sf, "documents")
+        urls = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("see https://www"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org/p"),
+            ),
+            F.concat(
+                F.lit("http://cdn"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.net/x"),
+            ),
+        )
+        return (
+            d.select(F.explode(textstats.extract_domains(urls)).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["text_domains"] = text_domains
+
+    q["text_repetition"] = lambda spark, sf: textstats.repetition_metrics(
+        _t(spark, sf, "documents")
+    )
+
+    q["text_gopher_gate"] = lambda spark, sf: textstats.gopher_gate(
+        _t(spark, sf, "documents")
+    )
+
     # ---------------- dedup: minhash signatures, LSH pairs, simhash ----------------
     q["dedup_minhash_sig"] = lambda spark, sf: _t(spark, sf, "documents").select(
         "doc_id",
@@ -1439,6 +1490,55 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform({_words}, w -> {_whash})), "
         f"(acc, h) -> (acc * 31 + h) % {textstats.FNV_MOD}) AS fp FROM documents"
+    )
+
+    _pii_inject = (
+        "concat_ws(' ', text, 'user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com', '10.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.0.7', '+1 555 0100')"
+    )
+    _redacted = _pii_inject
+    for _pat, _repl in textstats.PII_PATTERNS:
+        _redacted = f"regexp_replace({_redacted}, '{_pat}', '{_repl}', 'g')"
+    o["text_pii_redact"] = f"SELECT doc_id, {_redacted} AS clean FROM documents"
+
+    _url_inject = (
+        "concat_ws(' ', text, 'see https://www' || CAST(doc_id % 5 AS VARCHAR) "
+        "|| '.example.org/p', 'http://cdn' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.net/x')"
+    )
+    o["text_domains"] = (
+        "SELECT domain, count(*) AS n FROM (SELECT unnest("
+        f"regexp_extract_all({_url_inject}, '{textstats.URL_DOMAIN_RE}', 1)) "
+        "AS domain FROM documents) GROUP BY 1"
+    )
+
+    _rep_ctes = (
+        f"w AS (SELECT doc_id, {_words} AS ws FROM documents), "
+        "wg AS (SELECT doc_id, unnest(ws) AS g FROM w), "
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN "
+        "list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i+1]) ELSE [] END) AS g FROM w), "
+        "wc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM (SELECT "
+        "doc_id, g, count(*) AS c FROM wg GROUP BY 1, 2) GROUP BY 1), "
+        "bc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM (SELECT "
+        "doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1), "
+        "rep AS (SELECT w.doc_id, "
+        "coalesce(round(CAST(wc.top_c AS DOUBLE) / wc.n, 4), 0.0) AS "
+        "top_word_frac, coalesce(round(CAST(bc.top_c AS DOUBLE) / bc.n, 4), "
+        "0.0) AS top_bigram_frac FROM w LEFT JOIN wc ON w.doc_id = wc.doc_id "
+        "LEFT JOIN bc ON w.doc_id = bc.doc_id)"
+    )
+    o["text_repetition"] = (
+        f"WITH {_rep_ctes} "
+        "SELECT doc_id, top_word_frac, top_bigram_frac FROM rep"
+    )
+    o["text_gopher_gate"] = (
+        f"WITH {_rep_ctes} "
+        f"SELECT d.doc_id, (len({_words}) BETWEEN 10 AND 100000) AND "
+        f"({_mean_wl} BETWEEN 3.0 AND 10.0) AND ({_stop_ratio} >= 0.06) AND "
+        "(rep.top_word_frac <= 0.30) AND (rep.top_bigram_frac <= 0.18) "
+        "AS keep FROM documents d JOIN rep ON d.doc_id = rep.doc_id"
     )
 
     # ---- dedup ----

@@ -136,3 +136,117 @@ def fingerprint(text: Column | str, mod: int = FNV_MOD) -> Column:
         F.lit(0).cast("long"),
         lambda acc, w: F.pmod(acc * 31 + word_hash(w), F.lit(mod)),
     )
+
+
+# --------------------------------------------------------- pipeline filters
+# PII patterns: shared RE2-compatible subset (no backrefs/lookaround) so the
+# identical pattern strings run on the JVM (java.util.regex) and in DuckDB
+# (RE2) — order matters: email, then IP (before phone eats digit runs),
+# then phone.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{1,3}[ -]\d{3}[ -]\d{4}", "<PHONE>"),
+]
+
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Redact emails, IPv4s, and international-format phone numbers with
+    typed placeholder tokens — the scrub step before text enters a
+    training corpus. Chained JVM ``regexp_replace`` (replaces all
+    occurrences), no Python."""
+    t = _col(text)
+    for pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def extract_domains(text: Column | str) -> Column:
+    """Array of URL host names found in the text (capture group 1) —
+    feeds domain-level corpus filtering/sampling decisions."""
+    return F.regexp_extract_all(_col(text), F.lit(URL_DOMAIN_RE), 1)
+
+
+def repetition_metrics(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, and of bigrams by the
+    most frequent bigram (Rae et al. 2021, "Scaling Language Models",
+    table A1 — the rules that catch boilerplate/keyword-stuffed docs).
+
+    Shape at scale: explode → two hash aggregates, (doc, gram) then
+    (doc) — both map-side combinable, keyed by doc so mega-docs are the
+    skew bound (AQE splits). Docs with no tokens get 0.0 via the left
+    join back to the id spine (never dropped from the output).
+    """
+    ws = df.select(F.col(id_col), words_array(F.col(text_col)).alias("ws"))
+    spine = ws.select(id_col)
+
+    def top_frac(grams_df, out_name):
+        counts = grams_df.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        per_doc = counts.groupBy(id_col).agg(
+            F.max("c").alias("top_c"), F.sum("c").alias("n")
+        )
+        return per_doc.select(
+            id_col,
+            F.round(F.col("top_c").cast("double") / F.col("n"), 4).alias(out_name),
+        )
+
+    words = ws.select(id_col, F.explode("ws").alias("g"))
+    bigrams = ws.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i.cast("int")),
+                        F.element_at("ws", (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    return (
+        spine.join(top_frac(words, "top_word_frac"), id_col, "left")
+        .join(top_frac(bigrams, "top_bigram_frac"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def gopher_gate(
+    df, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Composite keep/drop pre-filter in the Gopher style: length, token
+    shape, stopword density, and repetition caps. Returns
+    (id, keep boolean) for every input row."""
+    t = F.col(text_col)
+    rep = repetition_metrics(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(words_array(t)).alias("n_words"),
+        mean_word_len(t).alias("mwl"),
+        stopword_ratio(t).alias("stop_r"),
+    )
+    return (
+        base.join(rep, id_col)
+        .select(
+            id_col,
+            (
+                F.col("n_words").between(10, 100000)
+                & F.col("mwl").between(3.0, 10.0)
+                & (F.col("stop_r") >= 0.06)
+                & (F.col("top_word_frac") <= 0.30)
+                & (F.col("top_bigram_frac") <= 0.18)
+            ).alias("keep"),
+        )
+    )

@@ -103,3 +103,75 @@ def test_langmap_and_skip(spark):
     assert got[2] == ("xx", "")
     assert got[3] == ("vi", "  ")
     assert got[4] == ("en", "HI")
+
+
+def test_pii_redact_specimens(spark):
+    from ktpm___ocr_spark.functions.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.co.uk now"),
+            (2, "host 192.168.0.1 and 8.8.8.8"),
+            (3, "call +84 555 0199 today"),
+            (4, "clean text, no pii at all"),
+            (5, None),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", pii_redact("text").alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "host <IP> and <IP>"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text, no pii at all"
+    assert got[5] is None
+
+
+def test_extract_domains(spark):
+    from ktpm___ocr_spark.functions.textstats import extract_domains
+
+    df = spark.createDataFrame(
+        [(1, "see https://a.example.org/x and http://b.net no-url ftp://skip.me")],
+        "id int, text string",
+    )
+    assert df.select(extract_domains("text").alias("d")).first()["d"] == [
+        "a.example.org",
+        "b.net",
+    ]
+
+
+def test_repetition_metrics(spark):
+    from ktpm___ocr_spark.functions.textstats import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),   # top word 3/4, top bigram 2/3
+            (2, "all words differ here"),
+            (3, ""),                      # empty → 0.0 via spine join
+            (4, "one"),                   # no bigrams
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["top_word_frac"], r["top_bigram_frac"])
+        for r in repetition_metrics(df).collect()
+    }
+    assert got[1] == (0.75, round(2 / 3, 4))
+    assert got[2] == (0.25, round(1 / 3, 4))
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (1.0, 0.0)
+
+
+def test_gopher_gate_rules(spark):
+    from ktpm___ocr_spark.functions.textstats import gopher_gate
+
+    long_good = " ".join(["the quick brown fox jumps over lazy dogs now"] * 3)
+    df = spark.createDataFrame(
+        [
+            (1, long_good),               # passes every rule
+            (2, "word " * 40),            # top_word_frac = 1.0 → drop
+            (3, "hi"),                    # too few words → drop
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in gopher_gate(df).collect()}
+    assert got == {1: True, 2: False, 3: False}
