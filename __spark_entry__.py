@@ -576,6 +576,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_bruteforce"] = ann_topk
 
+    def emb_quantize(spark, sf):
+        """Symmetric int8 quantization of the embedding column (the 4×
+        memory lever for a 10^9-vector store); q_vec projected to CSV so
+        the driver canonicalizer never sees an array column."""
+        emb = _t(spark, sf, "embeddings")
+        qz = sim.quantize_int8(F.col("embedding"))
+        return emb.select(
+            "vec_id",
+            F.round(qz["q_scale"], 5).alias("q_scale"),
+            F.array_join(
+                F.transform(qz["q_vec"], lambda x: x.cast("string")), ","
+            ).alias("q_csv"),
+        )
+
+    q["emb_quantize"] = emb_quantize
+
+    def ann_quantized(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.orderBy("vec_id").limit(8)
+        return sim.quantized_topk(emb, queries_df, k=5)
+
+    q["ann_topk_quantized"] = ann_quantized
+
     def emb_pairs(spark, sf):
         # LOAD-BEARING CAP: vec_id < 150 bounds this deliberate all-pairs
         # exact-cosine oracle check (BNLJ plan). The scalable operator is
@@ -1766,6 +1789,35 @@ def oracle_sql() -> dict[str, str]:
         "JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)) "
         "SELECT query_id, neighbor_id, cos FROM (SELECT *, row_number() OVER "
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) WHERE rn <= 5"
+    )
+
+    # int8 quantization: floor(x·127/sc + 0.5) round-half-up in both engines
+    _qz_ctes = (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "sq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) "
+        "AS sc FROM e), "
+        "qz AS (SELECT vec_id, sc, CASE WHEN sc = 0 THEN "
+        "list_transform(v, x -> 0) ELSE list_transform(v, x -> "
+        "CAST(floor(x * 127 / sc + 0.5) AS INTEGER)) END AS qv FROM sq)"
+    )
+    o["emb_quantize"] = (
+        f"WITH {_qz_ctes} SELECT vec_id, round(sc, 5) AS q_scale, "
+        "array_to_string(qv, ',') AS q_csv FROM qz"
+    )
+    o["ann_topk_quantized"] = (
+        f"WITH {_qz_ctes}, "
+        "dq AS (SELECT vec_id, list_transform(qv, y -> "
+        "CAST(y AS DOUBLE) * sc / 127.0) AS dv FROM qz), "
+        "q AS (SELECT vec_id AS query_id, dv AS qv FROM dq "
+        "ORDER BY vec_id LIMIT 8), "
+        "c AS (SELECT vec_id AS neighbor_id, dv AS cv FROM dq), "
+        "s AS (SELECT query_id, neighbor_id, "
+        f"round(CASE WHEN {_nq} * {_nc} = 0 THEN 0.0 ELSE {_dot} / "
+        f"({_nq} * {_nc}) END, 5) AS cos FROM c, q "
+        "WHERE neighbor_id <> query_id) "
+        "SELECT query_id, neighbor_id, cos FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) "
+        "WHERE rn <= 5"
     )
 
     o["emb_centroids"] = (

@@ -82,3 +82,55 @@ def test_embedding_near_dups_finds_planted_pair(spark, emb):
     pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in got}
     assert (row["vec_id"], 999999) in pairs
     assert pairs[(row["vec_id"], 999999)] == 1.0
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from ktpm___ocr_spark.operators.similarity import dequantize, quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, no ANSI div error
+            (3, [3.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    qz = quantize_int8(F.col("embedding"))
+    rows = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            qz["q_scale"].alias("sc"),
+            qz["q_vec"].alias("qv"),
+            dequantize(qz["q_scale"], qz["q_vec"]).alias("dv"),
+        ).collect()
+    }
+    assert rows[1]["sc"] == 1.0
+    assert rows[1]["qv"] == [64, -127, 32, 0]  # 0.5*127+0.5 floor = 64
+    assert rows[2]["sc"] == 0.0 and rows[2]["qv"] == [0, 0, 0, 0]
+    assert rows[3]["qv"] == [127] and rows[3]["dv"] == [3.0]
+    # reconstruction error ≤ half a quantization step
+    for orig, dv, sc in [
+        ([0.5, -1.0, 0.25, 0.0], rows[1]["dv"], rows[1]["sc"])
+    ]:
+        step = sc / 127.0
+        assert all(abs(a - b) <= step / 2 + 1e-12 for a, b in zip(orig, dv))
+
+
+def test_quantized_topk_matches_exact_on_coarse_data(spark):
+    from ktpm___ocr_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    # vectors whose cosines are well separated: quantized ranking == exact
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    q = df.filter("vec_id = 1")
+    exact = [(r["neighbor_id"]) for r in brute_force_topk(df, q, k=3).collect()]
+    quant = [(r["neighbor_id"]) for r in quantized_topk(df, q, k=3).collect()]
+    assert exact == quant == [2, 3, 4]
