@@ -117,3 +117,81 @@ def test_fingerprint_permutation_sensitivity(spark, texts):
     b = {r["id"]: r["f"] for r in df.select("id", fingerprint("t").alias("f")).collect()}
     assert a == b  # deterministic
     assert all(0 <= v < 2**31 for v in a.values())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    """int8 quantize/dequantize reconstruction error is ≤ half a step
+    (scale/254... step = scale/127, half-step scale/254) per element, for
+    arbitrary float vectors including zeros."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.operators.similarity import dequantize, quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, v array<double>",
+    )
+    qz = quantize_int8(F.col("v"))
+    rows = df.select(
+        "id",
+        qz["q_scale"].alias("sc"),
+        qz["q_vec"].alias("qv"),
+        dequantize(qz["q_scale"], qz["q_vec"]).alias("dv"),
+    ).collect()
+    for r, v in zip(sorted(rows, key=lambda r: r["id"]), vecs):
+        sc = r["sc"]
+        assert all(-127 <= q <= 127 for q in r["qv"])
+        half_step = sc / 254.0 + 1e-9
+        for orig, back in zip(v, r["dv"]):
+            assert abs(float(orig) - back) <= half_step, (orig, back, sc)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=6))
+def test_pii_redact_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent, and redacted output never matches any PII
+    pattern (placeholders are not themselves PII-shaped)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.textstats import PII_PATTERNS, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (i, t + f" x{i}@e{i}.org 10.0.{i % 256}.9 +1 555 0100")
+            for i, t in enumerate(texts)
+        ],
+        "id int, t string",
+    )
+    once = df.select("id", pii_redact("t").alias("c"))
+    twice = once.select("id", pii_redact("c").alias("c"))
+    a = {r["id"]: r["c"] for r in once.collect()}
+    b = {r["id"]: r["c"] for r in twice.collect()}
+    assert a == b
+    for c in a.values():
+        for pat, _ in PII_PATTERNS:
+            assert not re.search(pat, c), (pat, c)
