@@ -504,6 +504,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
 
+    def corpus_top_terms(spark, sf):
+        t = textstats.corpus_top_terms(_t(spark, sf, "documents"), n=20)
+        return t.select("term", "n", F.col("rank").cast("long").alias("rank"))
+
+    q["corpus_top_terms"] = corpus_top_terms
+
+    def corpus_split_counts(spark, sf):
+        """Reproducible hash-based train/val/test assignment — the split
+        that survives engines, reshuffles, and corpus growth."""
+        d = textstats.deterministic_split(_t(spark, sf, "documents"))
+        return d.groupBy("split").agg(F.count("*").alias("n"))
+
+    q["corpus_split_counts"] = corpus_split_counts
+
+    def tfidf_top3(spark, sf):
+        t = textstats.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+        return t.select(
+            "doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank")
+        )
+
+    q["tfidf_top_terms"] = tfidf_top3
+
     # ---------------- dedup: minhash signatures, LSH pairs, simhash ----------------
     q["dedup_minhash_sig"] = lambda spark, sf: _t(spark, sf, "documents").select(
         "doc_id",
@@ -1562,6 +1584,30 @@ def oracle_sql() -> dict[str, str]:
         f"({_mean_wl} BETWEEN 3.0 AND 10.0) AND ({_stop_ratio} >= 0.06) AND "
         "(rep.top_word_frac <= 0.30) AND (rep.top_bigram_frac <= 0.18) "
         "AS keep FROM documents d JOIN rep ON d.doc_id = rep.doc_id"
+    )
+    o["corpus_top_terms"] = (
+        f"WITH t AS (SELECT unnest({_words}) AS term FROM documents), "
+        "c AS (SELECT term, count(*) AS n FROM t GROUP BY 1) "
+        "SELECT term, n, rank FROM (SELECT term, n, row_number() OVER "
+        "(ORDER BY n DESC, term) AS rank FROM c) WHERE rank <= 20"
+    )
+    o["corpus_split_counts"] = (
+        "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
+        "ELSE 'test' END AS split, count(*) AS n FROM (SELECT "
+        "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS "
+        "BIGINT) % 100 AS b FROM documents) GROUP BY 1"
+    )
+    o["tfidf_top_terms"] = (
+        f"WITH t AS (SELECT doc_id, unnest({_words}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1), "
+        "nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), "
+        "sc AS (SELECT tf.doc_id, tf.term, round(tf.tf * "
+        "(ln(CAST(nd.nd + 1 AS DOUBLE) / (dfq.dft + 1)) + 1.0), 4) AS tfidf "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN nd) "
+        "SELECT doc_id, term, tfidf, rank FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc) "
+        "WHERE rank <= 3"
     )
 
     # ---- dedup ----

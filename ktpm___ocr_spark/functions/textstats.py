@@ -18,7 +18,7 @@ Portability rules used throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 WORD_SPLIT = r"\s+"
@@ -249,4 +249,82 @@ def gopher_gate(
                 & (F.col("top_bigram_frac") <= 0.18)
             ).alias("keep"),
         )
+    )
+
+
+# ------------------------------------------------------ corpus-level stats
+def corpus_top_terms(df, id_col: str = "doc_id", text_col: str = "text", n: int = 20):
+    """Exact corpus-wide top-n terms (count desc, term asc tie-break).
+
+    Explode → one hash aggregate on the term (map-side partials carry the
+    heavy hitters, so the shuffle is |vocab|, not |tokens|) → global top-n.
+    For sketch-based heavy hitters at unbounded vocab, the same query over
+    a sampled spine is the cheap first pass.
+    """
+    words = df.select(F.explode(words_array(F.col(text_col))).alias("term"))
+    counts = words.groupBy("term").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("term", "n", "rank")
+    )
+
+
+def deterministic_split(
+    df,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+):
+    """Reproducible train/val/test assignment by content-independent hash
+    of the id — the split survives reshuffles, re-partitions, engine
+    changes, and incremental corpus growth (a doc's split never changes).
+    Uses the portable sha256-prefix hash (same rule as word_hash) so any
+    engine can replicate the assignment bit-for-bit."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def tfidf_top_terms(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """Per-document top-k terms by tf·idf (idf = ln((N+1)/(df_t+1)) + 1,
+    the smoothed scikit-learn formulation; score rounded to 4 dp; ties to
+    the lexicographically smaller term).
+
+    Shape: (doc, term) counts → term document-frequency (second hash agg)
+    → broadcast-join idf back (|vocab| rows) → per-doc top-k window.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(words_array(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("nd"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("nd") + 1).cast("double") / (F.col("df_t") + 1)) + 1.0).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
     )

@@ -175,3 +175,51 @@ def test_gopher_gate_rules(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in gopher_gate(df).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_corpus_top_terms_tiebreak(spark):
+    from ktpm___ocr_spark.functions.textstats import corpus_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b d")], "doc_id int, text string"
+    )
+    got = [(r["term"], r["n"], r["rank"]) for r in corpus_top_terms(df, n=3).collect()]
+    # a and b tie at 3 → 'a' first lexicographically
+    assert got == [("a", 3, 1), ("b", 3, 2), ("c", 1, 3)]
+
+
+def test_deterministic_split_stable_and_partitioned(spark):
+    from ktpm___ocr_spark.functions.textstats import deterministic_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df.repartition(7)).collect()
+    }
+    assert a == b  # invariant to partitioning
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.7 < c["train"] / 1000 < 0.9  # ~80/10/10
+
+
+def test_tfidf_rare_term_wins(spark):
+    from ktpm___ocr_spark.functions.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common unicorn"),
+            (2, "common words here"),
+            (3, "common words there"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # equal tf, but 'unicorn' is corpus-rare → higher idf wins rank 1
+    assert got[(1, 1)] == "unicorn"
+    assert got[(1, 2)] == "common"
