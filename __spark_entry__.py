@@ -1202,6 +1202,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s8_run_metrics"] = s8_metrics
 
+    def s8_incremental(spark, sf):
+        """S8 incremental (delta-only) processing: the documents table
+        arrives as two append-only file drops; each run consumes only the
+        manifest complement. Final materialized result must equal the
+        one-shot transform of the whole table (the oracle)."""
+        import shutil
+        import tempfile
+
+        from ktpm___ocr_spark.metrics import IncrementalRun
+
+        base = tempfile.mkdtemp(prefix="ktpm_incr_")
+        src = os.path.join(base, "in")
+        os.makedirs(src)
+        try:
+            docs = _t(spark, sf, "documents")
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+                os.path.join(base, "tmp_a")
+            )
+            run = IncrementalRun(spark, os.path.join(base, "out"))
+
+            def transform(df):
+                return df.select(
+                    "doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("text_sha")
+                )
+
+            def drop(tmp_name, final_name):
+                d = os.path.join(base, tmp_name)
+                part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+                os.replace(os.path.join(d, part), os.path.join(src, final_name))
+
+            drop("tmp_a", "a.parquet")
+            first = run.run(src, transform)
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+                os.path.join(base, "tmp_b")
+            )
+            drop("tmp_b", "b.parquet")
+            second = run.run(src, transform)
+            assert len(first) == 1 and len(second) == 1  # true delta runs
+            rows = run.result().collect()
+            schema = run.result().schema
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    q["s8_incremental"] = s8_incremental
+
     def lsh_ann(spark, sf):
         emb = _t(spark, sf, "embeddings")
         # dim passed explicitly (EMB_DIM): no driver-side .first() probe
@@ -2042,6 +2088,9 @@ WHERE rn <= 5
         + " AS spans_canon FROM res"
     )
     # S8: checkpointed run must equal the flagship extraction byte-for-byte
+    o["s8_incremental"] = (
+        "SELECT doc_id, sha256(coalesce(text, '')) AS text_sha FROM documents"
+    )
     o["s8_checkpoint_resume"] = (
         "WITH "
         + _DOCS_SPANS_CTES

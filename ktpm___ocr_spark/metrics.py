@@ -199,3 +199,89 @@ class CheckpointedRun:
             os.path.join(self.out_dir, f"bucket={b}") for b in sorted(self.committed())
         ]
         return self.spark.read.parquet(*paths)
+
+
+@dataclass
+class IncrementalRun:
+    """File-level delta processing over an append-only input directory —
+    process only files not yet in the manifest (the Iceberg
+    incremental-read pattern: each run consumes the snapshot delta, not
+    the table). The batch complement to the streaming file source: same
+    exactly-once-per-file contract, driver-scheduled.
+
+    Each delta writes to a deterministic ``delta=<sha12>/`` directory
+    (sha of the sorted new-file list), so a crash after the write but
+    before the manifest commit re-creates the identical delta on retry
+    (overwrite) instead of duplicating rows — idempotent recovery without
+    a transaction log.
+    """
+
+    spark: SparkSession
+    out_dir: str
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "_files_manifest.json")
+
+    def processed(self) -> set[str]:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        with open(self.manifest_path) as f:
+            return {e["path"] for e in json.load(f)["files"]}
+
+    def new_files(self, input_dir: str) -> list[str]:
+        seen = self.processed()
+        return sorted(
+            os.path.join(input_dir, fn)
+            for fn in os.listdir(input_dir)
+            if fn.endswith(".parquet")
+            and os.path.join(input_dir, fn) not in seen
+        )
+
+    def run(
+        self,
+        input_dir: str,
+        transform: Callable[[DataFrame], DataFrame],
+        fail_before_commit: bool = False,
+    ) -> list[str]:
+        """Process the file delta; returns the files consumed this call."""
+        import hashlib
+
+        files = self.new_files(input_dir)
+        if not files:
+            return []
+        delta_id = hashlib.sha256("\n".join(files).encode()).hexdigest()[:12]
+        out = transform(self.spark.read.parquet(*files))
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"delta={delta_id}")
+        )
+        if fail_before_commit:  # crash injection for the recovery test
+            raise RuntimeError("injected failure before manifest commit")
+        entries = []
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                entries = json.load(f)["files"]
+        for p in files:
+            entries.append(
+                {
+                    "path": p,
+                    "bytes": os.path.getsize(p),
+                    "delta_id": delta_id,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                }
+            )
+        tmp = self.manifest_path + ".tmp"
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"files": entries}, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+        return files
+
+    def result(self) -> DataFrame:
+        with open(self.manifest_path) as f:
+            deltas = sorted({e["delta_id"] for e in json.load(f)["files"]})
+        return self.spark.read.parquet(
+            *(os.path.join(self.out_dir, f"delta={d}") for d in deltas)
+        )

@@ -75,3 +75,46 @@ def test_run_with_metrics_counts(spark, docs):
     assert m["extract"] == docs.count()
     assert m["flatten"] == n_rows
     assert n_rows > docs.count()  # exploded rows ≫ docs
+
+
+def test_incremental_run_processes_only_delta(spark, tmp_path):
+    from ktpm___ocr_spark.metrics import IncrementalRun
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    docs.filter("doc_id < 60").coalesce(1).toPandas().to_parquet(src / "a.parquet")
+    run = IncrementalRun(spark, str(tmp_path / "out"))
+
+    def transform(df):
+        return df.select("doc_id", (F.col("doc_id") * 2).alias("x"))
+
+    first = run.run(str(src), transform)
+    assert [f.split("/")[-1] for f in first] == ["a.parquet"]
+    assert run.result().count() == 60
+
+    # append-only growth: second run consumes ONLY the new file
+    docs.filter("doc_id >= 60").coalesce(1).toPandas().to_parquet(src / "b.parquet")
+    second = run.run(str(src), transform)
+    assert [f.split("/")[-1] for f in second] == ["b.parquet"]
+    assert run.run(str(src), transform) == []  # no delta → no work
+    got = {r["doc_id"]: r["x"] for r in run.result().collect()}
+    assert got == {i: 2 * i for i in range(100)}
+
+
+def test_incremental_run_crash_recovery_no_duplicates(spark, tmp_path):
+    from ktpm___ocr_spark.metrics import IncrementalRun
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.range(0, 10).withColumnRenamed("id", "doc_id").coalesce(
+        1
+    ).toPandas().to_parquet(src / "a.parquet")
+    run = IncrementalRun(spark, str(tmp_path / "out"))
+    ident = lambda df: df  # noqa: E731
+    with pytest.raises(RuntimeError, match="injected"):
+        run.run(str(src), ident, fail_before_commit=True)
+    # delta written but not committed: retry re-creates the SAME delta dir
+    assert run.processed() == set()
+    run.run(str(src), ident)
+    assert run.result().count() == 10  # no duplicated rows
