@@ -417,6 +417,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w2_retention_cap"] = w2
 
+    def a5_binned(spark, sf):
+        """Histogram-sketch percentiles (the scale path for A5): fixed
+        deterministic bins → engine-portable estimates, one
+        map-combinable aggregate instead of a per-group sort."""
+        return win.binned_percentiles(
+            _t(spark, sf, "events"), "value", "event_type", lo=0.0, hi=500.0
+        )
+
+    q["a5_percentiles_binned"] = a5_binned
+
+    def salted_user_value(spark, sf):
+        """Hot-key-proof two-phase aggregation (explicit salt): results
+        are salt-invariant — the oracle is the plain GROUP BY."""
+        from ktpm___ocr_spark.plans.partitioning import salted_sum_count
+
+        return salted_sum_count(
+            _t(spark, sf, "events"), "user_id", "value", "event_id"
+        )
+
+    q["salted_user_value"] = salted_user_value
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -1536,6 +1557,25 @@ def oracle_sql() -> dict[str, str]:
         "round(quantile_cont(value, 0.5), 4) AS p50, "
         "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n "
         "FROM events GROUP BY event_type"
+    )
+    # fixed bins: [0, 500) in 1000 × 0.5-wide buckets, clamp at the edges
+    o["a5_percentiles_binned"] = (
+        "WITH h AS (SELECT event_type, LEAST(999, GREATEST(0, CAST(floor("
+        "(value - 0.0) / 0.5) AS BIGINT))) AS bin, count(*) AS c FROM events "
+        "GROUP BY 1, 2), "
+        "cum AS (SELECT event_type, bin, c, sum(c) OVER (PARTITION BY "
+        "event_type ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY "
+        "event_type) AS total FROM h) "
+        "SELECT event_type, "
+        "round(min(CASE WHEN cum >= ceil(0.5 * total) THEN 0.0 + (bin + 1) "
+        "* 0.5 END), 6) AS p50_est, "
+        "round(min(CASE WHEN cum >= ceil(0.95 * total) THEN 0.0 + (bin + 1) "
+        "* 0.5 END), 6) AS p95_est, "
+        "CAST(max(total) AS BIGINT) AS n FROM cum GROUP BY 1"
+    )
+    o["salted_user_value"] = (
+        "SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS "
+        "DECIMAL(18,2))) AS DOUBLE) AS total FROM events GROUP BY 1"
     )
 
     # ---- text analysis (shared formulations; see textstats.py) ----

@@ -160,3 +160,50 @@ def success_failed_partition(
         .groupBy("leg")
         .agg(F.count("*").alias("n"))
     )
+
+
+def binned_percentiles(
+    df: DataFrame,
+    value: str,
+    by: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    ps: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Histogram-sketch percentiles — the 100 TB path exact
+    ``percentile()`` can't take (it needs per-group sorted values; this
+    needs one map-side-combinable count per (group, bin), state = n_bins
+    ints).
+
+    Unlike ``percentile_approx`` (t-digest: sketch internals are
+    engine-specific), fixed-width bins over [lo, hi] give bit-identical
+    estimates in any engine, so the result is oracle-checkable. Estimate
+    for p = upper edge of the first bin where the cumulative count
+    reaches ceil(p·n) — error ≤ one bin width. Values outside [lo, hi]
+    clamp to the edge bins.
+    """
+    w = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value) - lo) / w)),
+    ).cast("long")
+    hist = df.groupBy(F.col(by), b.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        by,
+        "bin",
+        "c",
+        F.sum("c").over(Window.partitionBy(by).orderBy("bin")).alias("cum"),
+        F.sum("c").over(Window.partitionBy(by)).alias("total"),
+    )
+    edge = F.lit(lo) + (F.col("bin") + 1) * F.lit(w)
+    aggs = [
+        F.round(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("total")), edge)
+            ),
+            6,
+        ).alias(f"p{int(p * 100)}_est")
+        for p in ps
+    ]
+    return cum.groupBy(by).agg(*aggs, F.max("total").alias("n"))

@@ -80,3 +80,33 @@ def salted_restitch(
     return all_doc_ids.join(merged, "doc_id", "left").select(
         "doc_id", F.coalesce("spans", empty).alias("spans")
     )
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_src: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Hot-key-proof count+sum: two-phase aggregation through a salted
+    partial. Phase 1 aggregates on (key, pmod(xxhash64(salt_src), B)) —
+    a key receiving half the corpus is reduced by B tasks in parallel —
+    phase 2 merges B partials per key. Results are salt-invariant.
+
+    The sum is carried as DECIMAL(18,2) through both phases (exact,
+    order-independent — double summation would make the result depend on
+    partial grouping) and surfaced as double. Spark's own partial/final
+    hash aggregation does the same thing *within* one logical agg; the
+    explicit salt is for the case AQE can't fix: a single key so hot its
+    final-phase reducer is still the straggler.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt_buckets))
+    partial = df.groupBy(F.col(key), salt.alias("_salt")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.col(value).cast("decimal(18,2)")).alias("_s"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_c").alias("n"),
+        F.sum("_s").cast("double").alias("total"),
+    )

@@ -76,3 +76,32 @@ def test_repartition_by_weight_spreads_heavy_rows(spark, skewed_df):
     # the mega-doc alone is ~10⁴ spans; no partition should hold multiple
     # mega-docs' worth of weight beyond the single-row floor
     assert max(totals) < 2 * 11_000
+
+
+def test_salted_sum_count_salt_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.plans.partitioning import salted_sum_count
+
+    # one pathologically hot key (80% of rows) + a long tail
+    rows = [(7, i, float(i % 10) + 0.5) for i in range(800)] + [
+        (i % 50, 1000 + i, 1.0) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id long, value double")
+    plain = {
+        (r["user_id"]): (r["n"], r["total"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    for buckets in (4, 32):
+        salted = {
+            (r["user_id"]): (r["n"], r["total"])
+            for r in salted_sum_count(
+                df, "user_id", "value", "event_id", salt_buckets=buckets
+            ).collect()
+        }
+        assert salted == plain

@@ -92,3 +92,35 @@ def test_json_props_parse(spark, sf001_dir):
     for r in got:
         want = json.loads(r["props"]).get("k", -1) if r["props"] else -1
         assert r["k"] == want
+
+
+def test_binned_percentiles_within_bin_width(spark):
+    import math
+
+    from ktpm___ocr_spark.operators.windows import binned_percentiles
+
+    rows = [(i % 3, float(i % 200) + 0.25) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp int, value double")
+    est = {
+        r["grp"]: (r["p50_est"], r["p95_est"])
+        for r in binned_percentiles(df, "value", "grp", lo=0.0, hi=200.0).collect()
+    }
+    bin_w = 200.0 / 1000
+    for g in range(3):
+        vals = sorted(v for gg, v in rows if gg == g)
+        for p, got in zip((0.5, 0.95), est[g]):
+            # estimate ≈ the discrete rank statistic (the value whose
+            # cumulative count first reaches ceil(p·n)), within one bin
+            discrete = vals[math.ceil(p * len(vals)) - 1]
+            assert abs(got - discrete) <= bin_w + 1e-9, (g, p, got, discrete)
+
+
+def test_binned_percentiles_clamps_outliers(spark):
+    from ktpm___ocr_spark.operators.windows import binned_percentiles
+
+    df = spark.createDataFrame(
+        [(1, -50.0), (1, 9999.0), (1, 5.0)], "grp int, value double"
+    )
+    r = binned_percentiles(df, "value", "grp", lo=0.0, hi=10.0).first()
+    assert 0.0 < r["p50_est"] <= 10.0  # median lands in-range
+    assert r["p95_est"] == 10.0  # outlier clamped to the top edge
