@@ -1088,39 +1088,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                f"stream {n} did not drain within 300s — refusing to return "
+                "a partially-drained memory table"
+            )
         return spark.table(n)
 
     def _events_stream_dir(sf):
         """File-source streams need a directory; stage one holding a
-        symlink to the events parquet (zero-copy, deterministic data)."""
+        symlink to the events parquet (zero-copy, deterministic data).
+        Target is absolutized — a relative sf would otherwise produce a
+        broken link that streams zero files without erroring."""
         import tempfile
 
         d = tempfile.mkdtemp(prefix="evstream_")
         os.symlink(
-            os.path.join(sf, "events.parquet"), os.path.join(d, "events.parquet")
+            os.path.abspath(os.path.join(sf, "events.parquet")),
+            os.path.join(d, "events.parquet"),
         )
         return d
+
+    def _drain_events_stream(spark, sf, build, name, mode="complete"):
+        """Stage the events dir, run the built streaming query to
+        completion, clean the staging dir (the memory sink holds the
+        result; the files are no longer needed after the drain)."""
+        import shutil
+
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        _utc(spark)
+        d = _events_stream_dir(sf)
+        try:
+            return _run_stream(
+                spark, build(sj.read_events_stream(spark, d)), name, mode
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
     def stream_rate_windows_q(spark, sf):
         """W4 as a genuine Structured Streaming job: file source →
         watermarked tumbling-window counts → memory sink, drained with
         availableNow. Same oracle as the batch W4."""
-        _utc(spark)
         from ktpm___ocr_spark.streaming import jobs as sj
 
-        src = sj.read_events_stream(spark, _events_stream_dir(sf))
-        return _run_stream(spark, sj.stream_rate_windows(src), "stream_w4")
+        return _drain_events_stream(
+            spark, sf, sj.stream_rate_windows, "stream_w4"
+        )
 
     q["stream_rate_windows"] = stream_rate_windows_q
 
     def stream_counters_q(spark, sf):
         """A2 as a stream: running per-stage metric counters."""
-        _utc(spark)
         from ktpm___ocr_spark.streaming import jobs as sj
 
-        src = sj.read_events_stream(spark, _events_stream_dir(sf))
-        return _run_stream(spark, sj.stream_stage_counters(src), "stream_a2")
+        return _drain_events_stream(
+            spark, sf, sj.stream_stage_counters, "stream_a2"
+        )
 
     q["stream_counters"] = stream_counters_q
 
@@ -1129,12 +1154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         running totals carried in GroupState. Final emissions on a drained
         finite stream equal the batch aggregate (cross-batch state is
         pinned by tests/test_streaming.py with maxFilesPerTrigger=1)."""
-        _utc(spark)
         from ktpm___ocr_spark.streaming import jobs as sj
 
-        src = sj.read_events_stream(spark, _events_stream_dir(sf))
-        res = _run_stream(
-            spark, sj.stream_user_totals_stateful(src), "stream_totals", mode="update"
+        res = _drain_events_stream(
+            spark, sf, sj.stream_user_totals_stateful, "stream_totals",
+            mode="update",
         )
         # update mode emits once per (user, batch); keep the final (max —
         # both fields are monotone) emission per user
@@ -1562,7 +1586,7 @@ def oracle_sql() -> dict[str, str]:
     o["a5_percentiles_binned"] = (
         "WITH h AS (SELECT event_type, LEAST(999, GREATEST(0, CAST(floor("
         "(value - 0.0) / 0.5) AS BIGINT))) AS bin, count(*) AS c FROM events "
-        "GROUP BY 1, 2), "
+        "WHERE value IS NOT NULL GROUP BY 1, 2), "
         "cum AS (SELECT event_type, bin, c, sum(c) OVER (PARTITION BY "
         "event_type ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY "
         "event_type) AS total FROM h) "

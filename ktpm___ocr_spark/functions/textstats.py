@@ -263,11 +263,13 @@ def corpus_top_terms(df, id_col: str = "doc_id", text_col: str = "text", n: int 
     """
     words = df.select(F.explode(words_array(F.col(text_col))).alias("term"))
     counts = words.groupBy("term").agg(F.count("*").alias("n"))
+    # distributed top-n (TakeOrderedAndProject), NOT an unpartitioned
+    # window over the full vocabulary; the rank window then runs over only
+    # the n survivors
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(n)
     w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
-        .select("term", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "n", "rank"
     )
 
 
@@ -282,11 +284,7 @@ def deterministic_split(
     changes, and incremental corpus growth (a doc's split never changes).
     Uses the portable sha256-prefix hash (same rule as word_hash) so any
     engine can replicate the assignment bit-for-bit."""
-    bucket = F.pmod(
-        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    bucket = F.pmod(word_hash(F.col(id_col).cast("string")), F.lit(100))
     return df.withColumn(
         "split",
         F.when(bucket < train_pct, "train")

@@ -230,12 +230,16 @@ class IncrementalRun:
             return {e["path"] for e in json.load(f)["files"]}
 
     def new_files(self, input_dir: str) -> list[str]:
+        # realpath-normalized: '/data/in', 'data/in', and a symlinked
+        # mount must all resolve to the same manifest identity, or a
+        # re-spelled path would reprocess (and duplicate) every file
         seen = self.processed()
+        root = os.path.realpath(input_dir)
         return sorted(
-            os.path.join(input_dir, fn)
-            for fn in os.listdir(input_dir)
+            os.path.join(root, fn)
+            for fn in os.listdir(root)
             if fn.endswith(".parquet")
-            and os.path.join(input_dir, fn) not in seen
+            and os.path.join(root, fn) not in seen
         )
 
     def run(

@@ -193,6 +193,21 @@ def minhash_near_dups(
     return verified
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a localCheckpoint'ed frame's blocks.
+
+    A checkpointed DataFrame's data lives in the underlying RDD's cache
+    blocks (df.unpersist() only touches the SQL cache manager). Without
+    an explicit release, every superseded generation of an iterative
+    algorithm stays in executor storage until GC-driven ContextCleaner
+    gets to it — O(rounds) label snapshots held at once.
+    """
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass  # fall back to ContextCleaner reclamation
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
 ) -> DataFrame:
@@ -262,6 +277,7 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            _release_checkpoint(labels)  # free the superseded generation
             labels = new_labels
             if changed == 0:
                 break
@@ -293,7 +309,6 @@ def keep_canonical(
     groupBy on cluster_id using a max-of-struct ordering instead of a
     window (no sort, pure hash aggregate with map-side partials).
     """
-    from pyspark.sql import Window  # noqa: F401  (documented alternative)
     from ktpm___ocr_spark.functions.textstats import quality_score
 
     if rank_col is None:

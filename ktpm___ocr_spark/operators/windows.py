@@ -188,7 +188,13 @@ def binned_percentiles(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(value) - lo) / w)),
     ).cast("long")
-    hist = df.groupBy(F.col(by), b.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+    # NULLs must be excluded, not binned: greatest(0, floor(NULL)) is 0 in
+    # both engines, which would count NULL measurements as the minimum
+    hist = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(F.col(by), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     cum = hist.select(
         by,
         "bin",
