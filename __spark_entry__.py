@@ -1169,6 +1169,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_user_totals"] = stream_user_totals_q
 
+    def stream_dedup_upsert_q(spark, sf):
+        """foreachBatch exactly-once-per-key upsert: the events file is
+        replayed as a second micro-batch; the anti-join store ends up with
+        exactly the distinct input (the oracle)."""
+        import shutil
+        import tempfile
+
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        _utc(spark)
+        base = tempfile.mkdtemp(prefix="upsert_")
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        target = os.path.abspath(os.path.join(sf, "events.parquet"))
+        os.symlink(target, os.path.join(src_dir, "a.parquet"))
+        os.symlink(target, os.path.join(src_dir, "b.parquet"))  # replay
+        store = os.path.join(base, "store")
+        try:
+            src = (
+                spark.readStream.schema(sj.EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            query = sj.dedup_upsert_stream(src, store).start()
+            if not query.awaitTermination(300):
+                query.stop()
+                raise TimeoutError("upsert stream did not drain in 300s")
+            result = spark.read.parquet(store).select(
+                "event_id", "user_id", "event_type"
+            )
+            rows = result.collect()
+            schema = result.schema
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    q["stream_dedup_upsert"] = stream_dedup_upsert_q
+
+    def _staged_source_agg(spark, sf, fmt):
+        """Write the flat events projection to a csv/json staging dir,
+        read it back through the schema-enforced FAILFAST reader, and
+        aggregate — proves the non-parquet sources round-trip exactly."""
+        import shutil
+        import tempfile
+
+        from ktpm___ocr_spark.sources import readers as rd
+
+        flat = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        d = tempfile.mkdtemp(prefix=f"src_{fmt}_")
+        try:
+            if fmt == "csv":
+                flat.write.mode("overwrite").option("header", "true").csv(d)
+                back = rd.read_events_csv(spark, d)
+            else:
+                flat.write.mode("overwrite").json(d)
+                back = rd.read_events_json(spark, d)
+            result = back.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            rows = result.collect()
+            schema = result.schema
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    q["source_csv_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "csv")
+    q["source_json_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "json")
+
     # ---------------- flagship: full extraction pipeline, hash-checked ----------------
     def extract_synth(spark, sf):
         """P4 flagship: docs-derived span synthesis → extract_narrow
@@ -1572,6 +1645,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(max(epoch(ts))) AS BIGINT) AS max_ts_epoch "
         "FROM events GROUP BY 1"
     )
+    o["stream_dedup_upsert"] = (
+        "SELECT event_id, user_id, event_type FROM events"
+    )
+    _src_agg_sql = (
+        "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS "
+        "DECIMAL(18,2))) AS DOUBLE) AS total FROM events GROUP BY 1"
+    )
+    o["source_csv_agg"] = _src_agg_sql
+    o["source_json_agg"] = _src_agg_sql
     o["a4_success_failed"] = (
         "SELECT CASE WHEN event_type IN ('error') THEN 'failed' ELSE "
         "'success' END AS leg, count(*) AS n FROM events GROUP BY 1"

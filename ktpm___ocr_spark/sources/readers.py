@@ -70,3 +70,35 @@ def write_rendered(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         "fmt",
         F.element_at(F.split(F.col("filename"), r"\."), -1),
     ).write.mode(mode).partitionBy("fmt").parquet(path)
+
+
+EVENTS_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV source with an enforced schema (never inferSchema — schema
+    inference is a full extra pass over the data and is non-deterministic
+    under sampling at scale) and FAILFAST mode: a malformed row aborts the
+    read instead of silently becoming nulls."""
+    return (
+        spark.read.schema(EVENTS_FLAT_SCHEMA)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_events_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines source, same enforced-schema + FAILFAST contract."""
+    return (
+        spark.read.schema(EVENTS_FLAT_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )

@@ -110,3 +110,27 @@ def sessionize_batch(
             "n_events",
         )
     )
+
+
+def dedup_upsert_stream(src: DataFrame, store_dir: str, key: str = "event_id"):
+    """Exactly-once-per-key streaming sink via ``foreachBatch``: each
+    micro-batch dedups within itself, anti-joins keys already in the
+    store (cross-batch), and appends only the remainder — the idempotent
+    upsert pattern for feeding a dedup'd table from a replayable stream
+    (at scale the store is an Iceberg MERGE target; here a parquet dir).
+
+    Returns the DataStreamWriter — caller ``.start()``s it.
+    """
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates([key])
+        if os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir)
+        ):
+            seen = spark.read.parquet(store_dir).select(key)
+            new = new.join(seen, key, "left_anti")
+        new.write.mode("append").parquet(store_dir)
+
+    return src.writeStream.foreachBatch(upsert).trigger(availableNow=True)

@@ -92,3 +92,26 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
+def test_csv_json_sources_schema_enforced(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.sources.readers import (
+        EVENTS_FLAT_SCHEMA,
+        read_events_csv,
+        read_events_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "click", 1.5), (2, 11, "view, with comma", 2.25)],
+        EVENTS_FLAT_SCHEMA,
+    )
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    df.coalesce(1).write.option("header", "true").csv(csv_dir)
+    df.coalesce(1).write.json(json_dir)
+    back_csv = read_events_csv(spark, csv_dir).orderBy("event_id").collect()
+    back_json = read_events_json(spark, json_dir).orderBy("event_id").collect()
+    orig = df.orderBy("event_id").collect()
+    assert back_csv == orig  # quoting survives embedded commas
+    assert back_json == orig

@@ -128,3 +128,33 @@ def test_stateful_user_totals_across_batches(spark, events_dir, tmp_path):
     # state genuinely crossed batches: at least two emissions for some user
     emissions = spark.table("user_totals").groupBy("user_id").count()
     assert emissions.agg(F.max("count")).first()[0] >= 2
+
+
+def test_dedup_upsert_stream_cross_batch(spark, events_dir, tmp_path):
+    """foreachBatch upsert: replaying the same file in a second micro-batch
+    adds nothing to the store (exactly-once per key)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        dedup_upsert_stream,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{events_dir}/part-0.parquet", src_dir / "a.parquet")
+    shutil.copy(f"{events_dir}/part-0.parquet", src_dir / "b.parquet")  # replay
+    store = str(tmp_path / "store")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = dedup_upsert_stream(src, store).start()
+    q.awaitTermination(180)
+    got = spark.read.parquet(store)
+    want = spark.read.parquet(events_dir)
+    assert got.count() == want.count()  # doubled input, deduped store
+    assert got.select("event_id").distinct().count() == want.count()
