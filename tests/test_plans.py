@@ -86,3 +86,41 @@ def test_ann_broadcast_queries_no_shuffle_of_corpus(spark, sf01_dir):
     plan = _plan(df)
     # the corpus side joins via broadcast of the 8 queries
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_top_terms_is_distributed_topk(spark, sf01_dir):
+    """The vocab ranking must plan as TakeOrderedAndProject (distributed
+    top-n), never a global sort / unpartitioned window over the vocab."""
+    from ktpm___ocr_spark.functions.textstats import corpus_top_terms
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = _plan(corpus_top_terms(docs, n=20))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_salted_agg_two_phase_exchanges(spark, sf01_dir):
+    """Salted aggregation = exactly two hash-agg phases: partial on
+    (key, salt), final on key — and no sort anywhere."""
+    from ktpm___ocr_spark.plans.partitioning import salted_sum_count
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    plan = _plan(salted_sum_count(ev, "user_id", "value", "event_id"))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Sort" not in plan, plan
+
+
+def test_binned_percentiles_aggregates_before_window(spark, sf01_dir):
+    """The histogram reduces |rows| → |groups·bins| BEFORE any window
+    function runs: the plan's window operates on the aggregated relation
+    (HashAggregate appears below the Window in the tree)."""
+    from ktpm___ocr_spark.operators.windows import binned_percentiles
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    plan = _plan(binned_percentiles(ev, "value", "event_type", 0.0, 500.0))
+    assert "HashAggregate" in plan and "Window" in plan
+    # the histogram aggregate (deepest HashAggregate) feeds the window
+    assert plan.rindex("HashAggregate") > plan.index(
+        "Window"
+    ), "window must consume the aggregated histogram, not raw rows"
+    # and the NULL exclusion reaches the scan
+    assert "PushedFilters: [IsNotNull(value)]" in plan, plan
