@@ -445,6 +445,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w4_rate_windows"] = w4
 
+    def w4_sliding(spark, sf):
+        """Sliding windows (60s length / 30s slide): every event lands in
+        exactly two windows — the overlap is what a rate limiter needs to
+        avoid boundary gaming."""
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.window("ts", "60 seconds", "30 seconds").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "user_id", "n")
+        )
+
+    q["w4_sliding_windows"] = w4_sliding
+
+    def stratified_sample(spark, sf):
+        """Deterministic per-stratum sample: k docs per language by
+        smallest portable hash — reproducible across engines/partitionings
+        (the per-source cap step of corpus assembly)."""
+        d = _t(spark, sf, "documents")
+        h = F.pmod(
+            F.conv(
+                F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1000000007),
+        )
+        from pyspark.sql import Window as W
+
+        win_spec = W.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+        return (
+            d.select("doc_id", "lang", h.alias("h"))
+            .withColumn("rk", F.row_number().over(win_spec))
+            .filter(F.col("rk") <= 25)
+            .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        )
+
+    q["stratified_sample"] = stratified_sample
+
+    def full_outer_counts(spark, sf):
+        """Full-outer join breadth: customers with and without orders and
+        orders whose customer is filtered out both survive."""
+        c = _t(spark, sf, "customer").filter(F.col("c_custkey") % 3 == 0).select(
+            F.col("c_custkey").alias("custkey"), "c_name"
+        )
+        o_agg = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_custkey") % 2 == 0)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+        return c.join(o_agg, "custkey", "full_outer").select(
+            "custkey",
+            F.coalesce("c_name", F.lit("<no-customer>")).alias("c_name"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+
+    q["full_outer_counts"] = full_outer_counts
+
     def a4(spark, sf):
         ev = _t(spark, sf, "events")
         # 'error' events are the rejected leg (allSettled semantics)
@@ -1629,6 +1690,31 @@ def oracle_sql() -> dict[str, str]:
     o["w4_rate_windows"] = (
         "SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start, "
         "user_id, count(*) AS n FROM events GROUP BY 1, 2"
+    )
+    # sliding 60s/30s: every event belongs to exactly the two windows
+    # starting at tb30(ts) and tb30(ts)-30s
+    o["w4_sliding_windows"] = (
+        "SELECT ws AS window_start, user_id, count(*) AS n FROM (SELECT "
+        "user_id, unnest([time_bucket(INTERVAL '30 seconds', ts), "
+        "time_bucket(INTERVAL '30 seconds', ts) - INTERVAL '30 seconds']) "
+        "AS ws FROM events) GROUP BY 1, 2"
+    )
+    o["stratified_sample"] = (
+        "WITH h AS (SELECT doc_id, lang, CAST(('0x' || substr(sha256("
+        "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007 AS h "
+        "FROM documents) SELECT doc_id, lang, rk FROM (SELECT doc_id, lang, "
+        "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk "
+        "FROM h) WHERE rk <= 25"
+    )
+    o["full_outer_counts"] = (
+        "WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer "
+        "WHERE c_custkey % 3 = 0), "
+        "o AS (SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders "
+        "WHERE o_custkey % 2 = 0 GROUP BY 1) "
+        "SELECT coalesce(c.custkey, o.custkey) AS custkey, "
+        "coalesce(c_name, '<no-customer>') AS c_name, "
+        "coalesce(n_orders, 0) AS n_orders "
+        "FROM c FULL OUTER JOIN o ON c.custkey = o.custkey"
     )
     # streaming queries drain availableNow into a memory sink — on finite
     # input the result is exactly the batch aggregation, so the batch SQL
