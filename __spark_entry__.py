@@ -467,12 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (the per-source cap step of corpus assembly)."""
         d = _t(spark, sf, "documents")
         h = F.pmod(
-            F.conv(
-                F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1000000007),
+            textstats.word_hash(F.col("doc_id").cast("string")), F.lit(1000000007)
         )
         from pyspark.sql import Window as W
 

@@ -153,7 +153,7 @@ def test_dedup_upsert_stream_cross_batch(spark, events_dir, tmp_path):
         .parquet(str(src_dir))
     )
     q = dedup_upsert_stream(src, store).start()
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream must drain fully (else the replay batch never runs)"
     got = spark.read.parquet(store)
     want = spark.read.parquet(events_dir)
     assert got.count() == want.count()  # doubled input, deduped store
