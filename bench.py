@@ -200,6 +200,12 @@ def operator_bench(spark) -> dict[str, float]:
         "text_fingerprint",
         "c3_restitch_grouped",
         "multimodal_stub",
+        # round-2 breadth additions worth perf visibility
+        "dedup_clusters",
+        "text_gopher_gate",
+        "tfidf_top_terms",
+        "ann_topk_quantized",
+        "salted_user_value",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -195,3 +195,55 @@ def test_pii_redact_idempotent_and_clean(spark, texts):
     for c in a.values():
         for pat, _ in PII_PATTERNS:
             assert not re.search(pat, c), (pat, c)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation fixpoint == classic union-find on random
+    graphs (cluster_id = min node per component)."""
+    from ktpm___ocr_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    for node in parent:
+        want[node] = comp_min[find(node)]
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == want
