@@ -667,6 +667,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_canonical"] = dedup_keep_canonical
 
+    def dedup_recall_eval(spark, sf):
+        """Self-evaluation of the LSH scheme over the WHOLE table: ground
+        truth = exact Jaccard ≥ 0.4 found via an inverted shingle index
+        (complete — any pair with jaccard > 0 shares a shingle — and
+        scalable: an equi-join on shingle, never all-pairs); predicted =
+        the band-join pipeline. Predicted pairs are exact-verified so
+        precision is 1 by construction — recall < 1 iff the band scheme
+        missed a true pair."""
+        d = _t(spark, sf, "documents")
+        sh = d.select(
+            "doc_id", dd.shingles(F.col("text")).alias("sh")
+        ).persist()
+        ix = sh.select("doc_id", F.explode("sh").alias("g"))
+        a, b = ix.alias("a"), ix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .distinct()
+        )
+        sets = sh.select(F.col("doc_id"), F.col("sh"))
+        truth = (
+            cand.join(
+                sets.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a"
+            )
+            .join(
+                sets.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b"
+            )
+            .select(
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    4,
+                ).alias("j")
+            )
+            .filter(F.col("j") >= 0.4)
+        )
+        pred = dd.minhash_near_dups(d, "doc_id", "text", threshold=0.4)
+        nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        npred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        return nt.crossJoin(npred).select(
+            "n_truth",
+            "n_pred",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_pred") / F.col("n_truth"), 4))
+            .alias("recall"),
+        )
+
+    q["dedup_recall_eval"] = dedup_recall_eval
+
     # ---------------- similarity: ANN brute force + near-dup pairs ----------------
     def ann_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1899,17 +1954,21 @@ def oracle_sql() -> dict[str, str]:
         f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents) "
         f"SELECT doc_id, array_to_string({_sig}, ',') AS sig FROM s"
     )
-    # minhash band/candidate CTEs shared by pairs, clusters, and canonical-keep
-    _mh_ctes = (
-        f"s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
-        f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
-        "bands AS (SELECT doc_id, sh, b AS band_idx, sha256(sg[b*4+1] || "
-        "chr(31) || sg[b*4+2] || chr(31) || sg[b*4+3] || chr(31) || sg[b*4+4]) "
-        "AS band_hash FROM sig, unnest([0,1,2,3]) AS t(b)), "
-        "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
-        "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "
-        "r.band_hash AND l.doc_id < r.doc_id)"
-    )
+    # minhash band/candidate CTEs shared by pairs, clusters, canonical-keep,
+    # and the recall evaluation (parameterized by the source relation)
+    def _mh_ctes_for(src):
+        return (
+            f"s AS (SELECT doc_id, {_shingles} AS sh FROM {src}), "
+            f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
+            "bands AS (SELECT doc_id, sh, b AS band_idx, sha256(sg[b*4+1] || "
+            "chr(31) || sg[b*4+2] || chr(31) || sg[b*4+3] || chr(31) || sg[b*4+4]) "
+            "AS band_hash FROM sig, unnest([0,1,2,3]) AS t(b)), "
+            "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
+            "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "
+            "r.band_hash AND l.doc_id < r.doc_id)"
+        )
+
+    _mh_ctes = _mh_ctes_for("documents")
     _mh_pairs_sel = (
         "SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, round(CASE WHEN "
         "len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0 ELSE "
@@ -1933,6 +1992,20 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_clusters"] = (
         f"WITH RECURSIVE {_cc_ctes} SELECT doc_id, cluster_id FROM comp"
+    )
+    o["dedup_recall_eval"] = (
+        f"WITH {_mh_ctes}, p AS ({_mh_pairs_sel}), "
+        "ix AS (SELECT doc_id, unnest(sh) AS g FROM s), "
+        "tc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+        "ix a JOIN ix b ON a.g = b.g AND a.doc_id < b.doc_id), "
+        "truth AS (SELECT 1 AS x FROM tc JOIN s sa ON tc.id_a = sa.doc_id "
+        "JOIN s sb ON tc.id_b = sb.doc_id WHERE round(CAST(len("
+        "list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct("
+        "list_concat(sa.sh, sb.sh))), 4) >= 0.4) "
+        "SELECT n_truth, n_pred, CASE WHEN n_truth = 0 THEN 1.0 ELSE "
+        "round(CAST(n_pred AS DOUBLE) / n_truth, 4) END AS recall FROM "
+        "(SELECT (SELECT count(*) FROM truth) AS n_truth, "
+        "(SELECT count(*) FROM p) AS n_pred)"
     )
     o["dedup_keep_canonical"] = (
         f"WITH RECURSIVE {_cc_ctes}, "
