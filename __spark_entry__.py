@@ -1353,6 +1353,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_csv_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "csv")
     q["source_json_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "json")
 
+    def storage_compaction(spark, sf):
+        """Small-files compaction: fragment the documents table into 24
+        files, compact to ≤2, and prove content preservation (the oracle
+        is the identity projection)."""
+        import shutil
+        import tempfile
+
+        from ktpm___ocr_spark.sources.readers import compact_small_files
+
+        base = tempfile.mkdtemp(prefix="compact_")
+        frag, out = os.path.join(base, "frag"), os.path.join(base, "out")
+        try:
+            _t(spark, sf, "documents").repartition(24).write.parquet(frag)
+            total = sum(
+                os.path.getsize(os.path.join(frag, f))
+                for f in os.listdir(frag)
+                if f.endswith(".parquet")
+            )
+            n_out = compact_small_files(
+                spark, frag, out, target_bytes=total // 2 + 1
+            )
+            assert n_out <= 2
+            result = spark.read.parquet(out).select("doc_id", "lang", "n_chars")
+            rows = result.collect()
+            schema = result.schema
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    q["storage_compaction"] = storage_compaction
+
     # ---------------- flagship: full extraction pipeline, hash-checked ----------------
     def extract_synth(spark, sf):
         """P4 flagship: docs-derived span synthesis → extract_narrow
@@ -1790,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["source_csv_agg"] = _src_agg_sql
     o["source_json_agg"] = _src_agg_sql
+    o["storage_compaction"] = "SELECT doc_id, lang, n_chars FROM documents"
     o["a4_success_failed"] = (
         "SELECT CASE WHEN event_type IN ('error') THEN 'failed' ELSE "
         "'success' END AS leg, count(*) AS n FROM events GROUP BY 1"

@@ -102,3 +102,31 @@ def read_events_json(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the maintenance action a 100 TB table
+    needs continuously (Iceberg's rewrite_data_files): streaming/
+    incremental ingest produces many files far below the ideal scan unit,
+    and every downstream job then pays per-file open/footer/task overhead.
+    Rewrites the directory into ceil(total_bytes / target_bytes) files.
+    Returns the output file count. Content-preserving by construction
+    (same rows, no transform)."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(in_dir, f))
+        for f in os.listdir(in_dir)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(in_dir).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return n_out

@@ -115,3 +115,27 @@ def test_csv_json_sources_schema_enforced(spark, tmp_path):
     orig = df.orderBy("event_id").collect()
     assert back_csv == orig  # quoting survives embedded commas
     assert back_json == orig
+
+
+def test_compact_small_files(spark, tmp_path):
+    from ktpm___ocr_spark.sources.readers import compact_small_files
+
+    frag = str(tmp_path / "frag")
+    spark.range(0, 5000).repartition(40).write.parquet(frag)
+    import os
+
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_in == 40
+    out = str(tmp_path / "compact")
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_out = compact_small_files(spark, frag, out, target_bytes=total // 2 + 1)
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out == 2 and n_files == 2
+    # content-preserving
+    assert sorted(
+        r["id"] for r in spark.read.parquet(out).collect()
+    ) == list(range(5000))
