@@ -1384,6 +1384,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["storage_compaction"] = storage_compaction
 
+    def corpus_assembly(spark, sf):
+        """Capstone composition — the full corpus-assembly pipeline a
+        training run needs, each stage the operator checked individually
+        elsewhere: quality gate (Gopher rules) → near-dup clustering →
+        canonical-keep → deterministic split → per-(split, lang) stats."""
+        d = _t(spark, sf, "documents")
+        gate = textstats.gopher_gate(d)
+        kept = d.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
+        pairs = dd.minhash_near_dups(kept, "doc_id", "text", threshold=0.4)
+        cc = dd.connected_components(pairs)
+        canon = dd.keep_canonical(kept, cc)
+        drop = (
+            cc.join(canon, "cluster_id")
+            .filter(F.col("node") != F.col("keep_id"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        final = textstats.deterministic_split(kept.join(drop, "doc_id", "left_anti"))
+        return final.groupBy("split", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+
+    q["corpus_assembly"] = corpus_assembly
+
     # ---------------- flagship: full extraction pipeline, hash-checked ----------------
     def extract_synth(spark, sf):
         """P4 flagship: docs-derived span synthesis → extract_narrow
@@ -1938,12 +1962,14 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_rep_ctes} "
         "SELECT doc_id, top_word_frac, top_bigram_frac FROM rep"
     )
-    o["text_gopher_gate"] = (
-        f"WITH {_rep_ctes} "
-        f"SELECT d.doc_id, (len({_words}) BETWEEN 10 AND 100000) AND "
+    _gate_pred = (
+        f"(len({_words}) BETWEEN 10 AND 100000) AND "
         f"({_mean_wl} BETWEEN 3.0 AND 10.0) AND ({_stop_ratio} >= 0.06) AND "
-        "(rep.top_word_frac <= 0.30) AND (rep.top_bigram_frac <= 0.18) "
-        "AS keep FROM documents d JOIN rep ON d.doc_id = rep.doc_id"
+        "(rep.top_word_frac <= 0.30) AND (rep.top_bigram_frac <= 0.18)"
+    )
+    o["text_gopher_gate"] = (
+        f"WITH {_rep_ctes} SELECT d.doc_id, {_gate_pred} AS keep "
+        "FROM documents d JOIN rep ON d.doc_id = rep.doc_id"
     )
     o["corpus_top_terms"] = (
         f"WITH t AS (SELECT unnest({_words}) AS term FROM documents), "
@@ -2013,8 +2039,8 @@ def oracle_sql() -> dict[str, str]:
     # connected components = transitive closure (recursive CTE), component
     # id = smallest reachable node — mirrors dedup.connected_components'
     # min-label-propagation fixpoint exactly.
-    _cc_ctes = (
-        f"{_mh_ctes}, p AS ({_mh_pairs_sel}), "
+    _cc_tail = (
+        f"p AS ({_mh_pairs_sel}), "
         "e AS (SELECT id_a AS u, id_b AS v FROM p "
         "UNION SELECT id_b, id_a FROM p), "
         "reach(u, v) AS (SELECT u, v FROM e UNION "
@@ -2022,8 +2048,32 @@ def oracle_sql() -> dict[str, str]:
         "comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id "
         "FROM reach GROUP BY u)"
     )
+    _cc_ctes = f"{_mh_ctes}, {_cc_tail}"
     o["dedup_clusters"] = (
         f"WITH RECURSIVE {_cc_ctes} SELECT doc_id, cluster_id FROM comp"
+    )
+    # capstone: gate → near-dup clusters → canonical keep → split → stats,
+    # composed from the same CTE fragments the stage oracles use
+    o["corpus_assembly"] = (
+        f"WITH RECURSIVE {_rep_ctes}, "
+        "kept AS (SELECT d.* FROM documents d JOIN rep ON d.doc_id = "
+        f"rep.doc_id WHERE {_gate_pred}), "
+        f"{_mh_ctes_for('kept')}, {_cc_tail}, "
+        f"m AS (SELECT comp.cluster_id, d2.doc_id AS member_id, {_quality} "
+        "AS rank FROM comp JOIN kept d2 ON comp.doc_id = d2.doc_id), "
+        "keepc AS (SELECT cluster_id, member_id AS keep_id FROM (SELECT "
+        "cluster_id, member_id, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY rank DESC, member_id) AS rn FROM m) WHERE rn = 1), "
+        "dropids AS (SELECT comp.doc_id FROM comp JOIN keepc ON "
+        "comp.cluster_id = keepc.cluster_id WHERE comp.doc_id <> keepc.keep_id), "
+        "final AS (SELECT * FROM kept WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM dropids)), "
+        "sp AS (SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN "
+        "b < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT lang, "
+        "n_chars, CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, "
+        "15)) AS BIGINT) % 100 AS b FROM final)) "
+        "SELECT split, lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars FROM sp GROUP BY 1, 2"
     )
     o["dedup_recall_eval"] = (
         f"WITH {_mh_ctes}, p AS ({_mh_pairs_sel}), "
