@@ -438,6 +438,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_user_value"] = salted_user_value
 
+    def value_outliers(spark, sf):
+        """Per-type z-score outliers (|z| ≥ 3): the cheap anomaly gate
+        over pipeline metrics — one grouped agg for the moments, one
+        broadcast-joined pass to score. Sample stddev in both engines."""
+        ev = _t(spark, sf, "events")
+        stats = ev.groupBy("event_type").agg(
+            F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
+        )
+        return (
+            ev.join(F.broadcast(stats), "event_type")
+            .select(
+                "event_id",
+                "event_type",
+                F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                    "z"
+                ),
+            )
+            .filter(F.abs(F.col("z")) >= 3.0)
+        )
+
+    q["value_outliers"] = value_outliers
+
+    def funnel_counts(spark, sf):
+        """Ordered funnel: users who did A, then B after A, then C after
+        B (strict event-time order via min-timestamp chaining — one
+        grouped agg per stage, no self-joins over the event log)."""
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        per_user = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_a"),
+        )
+        # stage timestamps: first A; first B AFTER A; first C AFTER that B
+        joined = (
+            ev.join(per_user, "user_id")
+            .groupBy("user_id", "t_a")
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "view") & (F.col("ts") > F.col("t_a")),
+                        F.col("ts"),
+                    )
+                ).alias("t_b")
+            )
+        )
+        final = (
+            ev.join(joined, "user_id")
+            .groupBy("user_id", "t_a", "t_b")
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") > F.col("t_b")),
+                        F.col("ts"),
+                    )
+                ).alias("t_c")
+            )
+        )
+        return final.agg(
+            F.count(F.lit(1)).alias("users"),
+            F.count("t_a").alias("did_a"),
+            F.count("t_b").alias("did_ab"),
+            F.count("t_c").alias("did_abc"),
+        )
+
+    q["funnel_counts"] = funnel_counts
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -1874,6 +1940,25 @@ def oracle_sql() -> dict[str, str]:
     o["salted_user_value"] = (
         "SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS "
         "DECIMAL(18,2))) AS DOUBLE) AS total FROM events GROUP BY 1"
+    )
+    o["value_outliers"] = (
+        "WITH s AS (SELECT event_type, avg(value) AS mu, stddev(value) AS "
+        "sigma FROM events GROUP BY 1) "
+        "SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z "
+        "FROM events e JOIN s ON e.event_type = s.event_type "
+        "WHERE abs(round((value - mu) / sigma, 4)) >= 3.0"
+    )
+    o["funnel_counts"] = (
+        "WITH a AS (SELECT user_id, min(CASE WHEN event_type = 'click' "
+        "THEN ts END) AS t_a FROM events GROUP BY 1), "
+        "ab AS (SELECT e.user_id, a.t_a, min(CASE WHEN e.event_type = "
+        "'view' AND e.ts > a.t_a THEN e.ts END) AS t_b FROM events e "
+        "JOIN a ON e.user_id = a.user_id GROUP BY 1, 2), "
+        "abc AS (SELECT e.user_id, ab.t_a, ab.t_b, min(CASE WHEN "
+        "e.event_type = 'purchase' AND e.ts > ab.t_b THEN e.ts END) AS t_c "
+        "FROM events e JOIN ab ON e.user_id = ab.user_id GROUP BY 1, 2, 3) "
+        "SELECT count(*) AS users, count(t_a) AS did_a, "
+        "count(t_b) AS did_ab, count(t_c) AS did_abc FROM abc"
     )
 
     # ---- text analysis (shared formulations; see textstats.py) ----
