@@ -504,6 +504,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_counts"] = funnel_counts
 
+    def hll_distinct_users(spark, sf):
+        """Portable HLL (sha-based registers): unlike approx_count_distinct
+        (engine-internal HLL++, rows-only checkable), this sketch is
+        hash-checked against DuckDB computing the SAME registers — exact
+        count joined in for accuracy visibility."""
+        from ktpm___ocr_spark.functions.sketches import hll_distinct
+
+        ev = _t(spark, sf, "events")
+        est = hll_distinct(ev, "event_type", "user_id")
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact")
+        )
+        return est.join(exact, "event_type")
+
+    q["hll_distinct_users"] = hll_distinct_users
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -1947,6 +1963,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z "
         "FROM events e JOIN s ON e.event_type = s.event_type "
         "WHERE abs(round((value - mu) / sigma, 4)) >= 3.0"
+    )
+    o["hll_distinct_users"] = (
+        "WITH h AS (SELECT event_type, user_id, CAST(('0x' || substr(sha256("
+        "CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events), "
+        "r AS (SELECT event_type, user_id, hv & 63 AS idx, CASE WHEN "
+        "(hv >> 6) = 0 THEN 61 ELSE CAST(log2((hv >> 6) & (-(hv >> 6))) AS "
+        "INTEGER) + 1 END AS rho FROM h), "
+        "regs AS (SELECT event_type, idx, max(rho) AS mr FROM r GROUP BY 1, 2), "
+        "agg AS (SELECT event_type, sum(pow(2.0, -mr)) AS ps, count(*) AS nr "
+        "FROM regs GROUP BY 1), "
+        "est AS (SELECT event_type, CASE WHEN (0.709 * 64 * 64 / (ps + "
+        "(64 - nr))) <= 160.0 AND (64 - nr) > 0 THEN 64.0 * ln(64.0 / "
+        "(64 - nr)) ELSE 0.709 * 64 * 64 / (ps + (64 - nr)) END AS e "
+        "FROM agg), "
+        "ex AS (SELECT event_type, count(DISTINCT user_id) AS exact "
+        "FROM events GROUP BY 1) "
+        "SELECT est.event_type, round(e, 4) AS estimate, exact "
+        "FROM est JOIN ex ON est.event_type = ex.event_type"
     )
     o["funnel_counts"] = (
         "WITH a AS (SELECT user_id, min(CASE WHEN event_type = 'click' "

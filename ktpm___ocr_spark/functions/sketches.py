@@ -1,0 +1,63 @@
+"""Engine-portable distributed sketches.
+
+``approx_count_distinct`` (HyperLogLog++) is the right tool at 100 TB,
+but its register values are engine-internal — no cross-engine oracle can
+check it (the repo's ``approx_distinct_users`` is rows-only for exactly
+that reason). This module implements classic HLL from first principles
+over the repo's portable sha256-prefix hash, so the *same* registers —
+and therefore the same estimate, bit for bit — are computable in any
+engine with sha256 and integer bit ops. The sketch itself is the right
+scale shape: one hash aggregate to (group, register), one to (group);
+sketch state is m integers per group and unions by register-max.
+
+Formulas: Flajolet et al. 2007 (HyperLogLog), with the standard
+linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions.textstats import word_hash
+
+HLL_M = 64  # registers; 2^6 — index from the low 6 hash bits
+_ALPHA_64 = 0.709  # alpha_m for m = 64 (Flajolet et al., fig. 3)
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Per-group portable-HLL distinct estimate: (group, estimate).
+
+    register index = low 6 bits of the 60-bit sha-prefix hash;
+    rho = 1 + trailing-zero count of the remaining bits (lowest-set-bit
+    isolation ``w & -w`` + exact ``log2`` of the power of two — both
+    engine-portable); registers = max(rho) per (group, idx); estimate =
+    alpha·m²/Σ2^−M_j with absent registers contributing 2⁰, corrected by
+    linear counting below 2.5·m when empty registers remain.
+    """
+    assert m == 64, "alpha constant is pinned for m=64"
+    h = word_hash(F.col(key_col).cast("string"))
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, 6)
+    rho = (
+        F.when(w == 0, F.lit(61))  # 2^-61 ~ 0: exhausted hash bits
+        .otherwise(F.log2(w.bitwiseAND(-w)).cast("int") + 1)
+    )
+    regs = (
+        df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("mr"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("ps"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    zeros = F.lit(m) - F.col("nr")
+    raw = F.lit(_ALPHA_64 * m * m) / (F.col("ps") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(group_col, F.round(est, 4).alias("estimate"))

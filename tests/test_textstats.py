@@ -223,3 +223,21 @@ def test_tfidf_rare_term_wins(spark):
     # equal tf, but 'unicorn' is corpus-rare → higher idf wins rank 1
     assert got[(1, 1)] == "unicorn"
     assert got[(1, 2)] == "common"
+
+
+def test_hll_distinct_accuracy(spark):
+    from ktpm___ocr_spark.functions.sketches import hll_distinct
+
+    # groups with very different true cardinalities
+    rows = (
+        [("small", i % 20) for i in range(500)]
+        + [("mid", i % 300) for i in range(1500)]
+        + [("large", i) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, key long")
+    est = {r["grp"]: r["estimate"] for r in hll_distinct(df, "grp", "key").collect()}
+    for grp, truth in (("small", 20), ("mid", 300), ("large", 4000)):
+        assert abs(est[grp] - truth) / truth < 0.35, (grp, est[grp], truth)
+    # determinism: same input → identical estimate
+    est2 = {r["grp"]: r["estimate"] for r in hll_distinct(df, "grp", "key").collect()}
+    assert est == est2
