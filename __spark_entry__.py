@@ -520,6 +520,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_distinct_users"] = hll_distinct_users
 
+    def weighted_sample_docs(spark, sf):
+        """Quality-weighted deterministic sampling (Efraimidis–Spirakis):
+        10 docs per language ∝ quality score — the reproducible corpus
+        sampling step (same sample from any engine or partitioning)."""
+        from ktpm___ocr_spark.functions.sketches import weighted_sample
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            (textstats.quality_score("text") + 0.01).alias("wt"),
+        )
+        return weighted_sample(d, "lang", "doc_id", "wt", k=10)
+
+    q["weighted_sample_docs"] = weighted_sample_docs
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -2193,6 +2208,16 @@ def oracle_sql() -> dict[str, str]:
         "15)) AS BIGINT) % 100 AS b FROM final)) "
         "SELECT split, lang, count(*) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS chars FROM sp GROUP BY 1, 2"
+    )
+    o["weighted_sample_docs"] = (
+        f"WITH w AS (SELECT doc_id, lang, {_quality} + 0.01 AS wt "
+        "FROM documents), "
+        "k AS (SELECT doc_id, lang, -ln(CAST((CAST(('0x' || substr(sha256("
+        "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1) AS DOUBLE) / "
+        "1152921504606846976.0) / wt AS es_key FROM w WHERE wt > 0) "
+        "SELECT lang, doc_id, rk FROM (SELECT lang, doc_id, row_number() "
+        "OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rk FROM k) "
+        "WHERE rk <= 10"
     )
     o["dedup_recall_eval"] = (
         f"WITH {_mh_ctes}, p AS ({_mh_pairs_sel}), "

@@ -61,3 +61,35 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(group_col, F.round(est, 4).alias("estimate"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement per group
+    (Efraimidis–Spirakis 2006): key_i = −ln(u_i)/w_i with u_i a uniform
+    (0,1] derived from the portable hash of the id; the k smallest keys
+    per group are an exact ∝-weight sample. Reproducible across engines,
+    partitionings, and reruns — the property corpus sampling needs so a
+    training set is re-derivable from the raw data.
+
+    One shuffle (rank per group); rows with weight ≤ 0 are excluded
+    (zero probability mass).
+    """
+    from pyspark.sql import Window
+
+    two60 = float(1 << 60)
+    u = (word_hash(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(two60)
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(F.asc("es_key"), F.asc(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(group_col), F.col(id_col), key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, F.col("rk").cast("long").alias("rk"))
+    )

@@ -241,3 +241,24 @@ def test_hll_distinct_accuracy(spark):
     # determinism: same input → identical estimate
     est2 = {r["grp"]: r["estimate"] for r in hll_distinct(df, "grp", "key").collect()}
     assert est == est2
+
+
+def test_weighted_sample_properties(spark):
+    from ktpm___ocr_spark.functions.sketches import weighted_sample
+
+    # weight 0 rows never sampled; heavy weights dominate the sample
+    rows = [("g", i, 100.0 if i < 5 else 0.1) for i in range(200)] + [
+        ("g", 900 + i, 0.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, wt double")
+    got = [r["id"] for r in weighted_sample(df, "grp", "id", "wt", k=10).collect()]
+    assert len(got) == 10
+    assert not any(i >= 900 for i in got)  # zero-weight excluded
+    heavy_hits = sum(1 for i in got if i < 5)
+    assert heavy_hits >= 3  # 5 items with 1000x weight land mostly in top-10
+    # determinism across partitionings
+    got2 = [
+        r["id"]
+        for r in weighted_sample(df.repartition(7), "grp", "id", "wt", k=10).collect()
+    ]
+    assert got == got2
