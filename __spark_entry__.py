@@ -535,6 +535,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample_docs"] = weighted_sample_docs
 
+    def contamination_check(spark, sf):
+        """Benchmark decontamination: docs sharing any 8-gram with the
+        'evaluation set' (deterministically: doc_id < 10). Broadcast
+        n-gram-hash join, never pairwise."""
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") < 10)
+        return textstats.contamination_flags(d, bench)
+
+    q["contamination_check"] = contamination_check
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -2208,6 +2218,20 @@ def oracle_sql() -> dict[str, str]:
         "15)) AS BIGINT) % 100 AS b FROM final)) "
         "SELECT split, lang, count(*) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS chars FROM sp GROUP BY 1, 2"
+    )
+    _g8 = " || ' ' || ".join(f"{_words}[i+{j}]" for j in range(8)).replace(
+        "[i+0]", "[i]"
+    )
+    _shingles8 = (
+        f"list_distinct(CASE WHEN len({_words}) >= 8 THEN "
+        f"list_transform(generate_series(1, len({_words}) - 7), i -> {_g8}) "
+        f"ELSE [array_to_string({_words}, ' ')] END)"
+    )
+    o["contamination_check"] = (
+        f"WITH g AS (SELECT doc_id, unnest({_shingles8}) AS g FROM documents), "
+        "b AS (SELECT DISTINCT doc_id AS bench_id, g FROM g WHERE doc_id < 10) "
+        "SELECT d.doc_id, count(DISTINCT d.g) AS n_shared FROM g d JOIN b "
+        "ON d.g = b.g AND d.doc_id <> b.bench_id GROUP BY 1"
     )
     o["weighted_sample_docs"] = (
         f"WITH w AS (SELECT doc_id, lang, {_quality} + 0.01 AS wt "

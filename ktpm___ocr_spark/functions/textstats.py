@@ -252,6 +252,36 @@ def gopher_gate(
     )
 
 
+def contamination_flags(
+    docs, benchmark, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram (default 8-gram, the standard from GPT-3/PaLM reports)
+    with an evaluation set. Shape at scale: explode both sides to
+    n-gram hashes, equi-join on the hash (benchmark side is tiny →
+    broadcast), distinct doc ids out. Never compares documents pairwise.
+
+    Returns (id, n_shared) for contaminated docs only.
+    """
+    from ktpm___ocr_spark.operators.dedup import shingles
+
+    def grams(df, idc):
+        return df.select(
+            F.col(idc), F.explode(shingles(F.col(text_col), n)).alias("g")
+        )
+
+    d = grams(docs, id_col)
+    b = grams(benchmark, id_col).select(
+        F.col(id_col).alias("bench_id"), "g"
+    ).distinct()
+    return (
+        d.join(F.broadcast(b), "g")
+        .filter(F.col(id_col) != F.col("bench_id"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
 # ------------------------------------------------------ corpus-level stats
 def corpus_top_terms(df, id_col: str = "doc_id", text_col: str = "text", n: int = 20):
     """Exact corpus-wide top-n terms (count desc, term asc tie-break).
