@@ -545,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_check"] = contamination_check
 
+    q["text_lm_score"] = lambda spark, sf: textstats.bigram_lm_score(
+        _t(spark, sf, "documents")
+    )
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -2232,6 +2236,26 @@ def oracle_sql() -> dict[str, str]:
         "b AS (SELECT DISTINCT doc_id AS bench_id, g FROM g WHERE doc_id < 10) "
         "SELECT d.doc_id, count(DISTINCT d.g) AS n_shared FROM g d JOIN b "
         "ON d.g = b.g AND d.doc_id <> b.bench_id GROUP BY 1"
+    )
+    o["text_lm_score"] = (
+        f"WITH w AS (SELECT doc_id, {_words} AS ws FROM documents), "
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN "
+        "list_transform(generate_series(1, len(ws) - 1), "
+        "i -> struct_pack(w1 := ws[i], w2 := ws[i+1])) ELSE [] END) AS b "
+        "FROM w), "
+        "bge AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg), "
+        "cb AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY 1, 2), "
+        "uni AS (SELECT w1, count(*) AS cu FROM "
+        "(SELECT unnest(ws) AS w1 FROM w) GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT w) AS v FROM "
+        "(SELECT unnest(ws) AS w FROM w)), "
+        "sc AS (SELECT bge.doc_id, ln(CAST(cb.cb + 1 AS DOUBLE) / "
+        "(uni.cu + v.v)) AS lp FROM bge JOIN cb ON bge.w1 = cb.w1 AND "
+        "bge.w2 = cb.w2 JOIN uni ON bge.w1 = uni.w1 CROSS JOIN v), "
+        "pd AS (SELECT doc_id, round(avg(lp), 4) AS lm_score FROM sc "
+        "GROUP BY 1) "
+        "SELECT w.doc_id, coalesce(pd.lm_score, 0.0) AS lm_score FROM w "
+        "LEFT JOIN pd ON w.doc_id = pd.doc_id"
     )
     o["weighted_sample_docs"] = (
         f"WITH w AS (SELECT doc_id, lang, {_quality} + 0.01 AS wt "

@@ -282,6 +282,60 @@ def contamination_flags(
     )
 
 
+def bigram_lm_score(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-LM fluency score — the cheap stand-in for perplexity
+    filtering (train a bigram model ON the corpus, score each doc by its
+    mean bigram log-probability; gibberish and boilerplate score low).
+    Laplace add-1 smoothing: lp(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)).
+
+    Shape at scale: two hash aggregates build the model (bigram and
+    unigram count tables, both |vocab|-bounded), one join of the exploded
+    corpus back to them on the gram key, one per-doc mean. Docs with no
+    bigrams get score 0.0 via the spine join.
+    """
+    ws = df.select(F.col(id_col), words_array(F.col(text_col)).alias("ws"))
+    spine = ws.select(id_col)
+    bg = ws.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i.cast("int")).alias("w1"),
+                        F.element_at("ws", (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = ws.select(F.explode("ws").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    v = ws.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 4).alias("lm_score")
+    )
+    return spine.join(per_doc, id_col, "left").select(
+        id_col, F.coalesce("lm_score", F.lit(0.0)).alias("lm_score")
+    )
+
+
 # ------------------------------------------------------ corpus-level stats
 def corpus_top_terms(df, id_col: str = "doc_id", text_col: str = "text", n: int = 20):
     """Exact corpus-wide top-n terms (count desc, term asc tie-break).
