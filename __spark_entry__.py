@@ -549,6 +549,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
 
+    def length_histogram(spark, sf):
+        """Corpus length distribution in log2 buckets — the first
+        diagnostic plotted before setting filter thresholds."""
+        d = _t(spark, sf, "documents")
+        b = F.floor(F.log2(F.coalesce(F.col("n_chars"), F.lit(0)) + 1)).cast(
+            "long"
+        )
+        return d.groupBy(b.alias("log2_bucket")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+
+    q["length_histogram"] = length_histogram
+
     def w4(spark, sf):
         _utc(spark)
         ev = _t(spark, sf, "events")
@@ -2236,6 +2251,11 @@ def oracle_sql() -> dict[str, str]:
         "b AS (SELECT DISTINCT doc_id AS bench_id, g FROM g WHERE doc_id < 10) "
         "SELECT d.doc_id, count(DISTINCT d.g) AS n_shared FROM g d JOIN b "
         "ON d.g = b.g AND d.doc_id <> b.bench_id GROUP BY 1"
+    )
+    o["length_histogram"] = (
+        "SELECT CAST(floor(log2(coalesce(n_chars, 0) + 1)) AS BIGINT) AS "
+        "log2_bucket, count(*) AS n_docs, min(n_chars) AS min_chars, "
+        "max(n_chars) AS max_chars FROM documents GROUP BY 1"
     )
     o["text_lm_score"] = (
         f"WITH w AS (SELECT doc_id, {_words} AS ws FROM documents), "
