@@ -802,6 +802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         precision is 1 by construction — recall < 1 iff the band scheme
         missed a true pair."""
         d = _t(spark, sf, "documents")
+        # persist is load-bearing (sh is consumed three times: the index
+        # explode and both verify sides); sessions running many queries
+        # reclaim it with spark.catalog.clearCache() — the same
+        # convention as minhash_near_dups
         sh = d.select(
             "doc_id", dd.shingles(F.col("text")).alias("sh")
         ).persist()
@@ -1500,7 +1504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_out = compact_small_files(
                 spark, frag, out, target_bytes=total // 2 + 1
             )
-            assert n_out <= 2
+            if n_out > 2:
+                raise RuntimeError(f"compaction produced {n_out} files, expected <= 2")
+            # collect-to-survive-tmpdir (same pattern as s8_incremental);
+            # bounded: 3 narrow columns at the driver-checked sf
             result = spark.read.parquet(out).select("doc_id", "lang", "n_chars")
             rows = result.collect()
             schema = result.schema
@@ -2280,9 +2287,9 @@ def oracle_sql() -> dict[str, str]:
     o["weighted_sample_docs"] = (
         f"WITH w AS (SELECT doc_id, lang, {_quality} + 0.01 AS wt "
         "FROM documents), "
-        "k AS (SELECT doc_id, lang, -ln(CAST((CAST(('0x' || substr(sha256("
-        "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1) AS DOUBLE) / "
-        "1152921504606846976.0) / wt AS es_key FROM w WHERE wt > 0) "
+        "k AS (SELECT doc_id, lang, round(-ln(CAST((CAST(('0x' || substr("
+        "sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1) AS DOUBLE) "
+        "/ 1152921504606846976.0) / wt, 6) AS es_key FROM w WHERE wt > 0) "
         "SELECT lang, doc_id, rk FROM (SELECT lang, doc_id, row_number() "
         "OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rk FROM k) "
         "WHERE rk <= 10"

@@ -37,7 +37,8 @@ def hll_distinct(
     alpha·m²/Σ2^−M_j with absent registers contributing 2⁰, corrected by
     linear counting below 2.5·m when empty registers remain.
     """
-    assert m == 64, "alpha constant is pinned for m=64"
+    if m != 64:  # index mask, shift width, and alpha are all pinned to 64
+        raise ValueError("hll_distinct supports m=64 only (alpha/shift pinned)")
     h = word_hash(F.col(key_col).cast("string"))
     idx = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftright(h, 6)
@@ -84,7 +85,10 @@ def weighted_sample(
 
     two60 = float(1 << 60)
     u = (word_hash(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(two60)
-    key = -F.log(u) / F.col(weight_col)
+    # round before ranking: ln() may differ by 1 ulp between JVM and other
+    # engines' libm — ranking on the rounded key (ties broken by id) keeps
+    # the sample engine-portable (same convention as tfidf_top_terms)
+    key = F.round(-F.log(u) / F.col(weight_col), 6)
     w = Window.partitionBy(group_col).orderBy(F.asc("es_key"), F.asc(id_col))
     return (
         df.filter(F.col(weight_col) > 0)

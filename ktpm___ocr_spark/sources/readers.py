@@ -129,4 +129,6 @@ def compact_small_files(
     spark.read.parquet(in_dir).repartition(n_out).write.mode(
         "overwrite"
     ).parquet(out_dir)
-    return n_out
+    # actual files on disk, not the requested partition count (empty
+    # partitions write no file)
+    return sum(f.endswith(".parquet") for f in os.listdir(out_dir))
