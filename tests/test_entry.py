@@ -94,3 +94,17 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.columns == ["doc_id", "spans"]
+
+
+def test_all_queries_run_at_smallest_sf(spark):
+    """Every registry query must execute at sf0.001 (sparser data, empty
+    partitions, zero-pair dedup graphs) — the driver smoke-checks entry()
+    there, and a query that only works at sf0.01 is a latent crash."""
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, sf).count()
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append((name, str(ex)[:120]))
+    assert not failures, failures
