@@ -549,6 +549,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
 
+    def semantic_dup_clusters(spark, sf):
+        """Embedding-space duplicate clusters: cosine near-dup pairs
+        (bounded exact set, same cap as emb_neardup_pairs) → connected
+        components — the semantic-dedup complement to the text-side
+        minhash clustering."""
+        pairs = emb_pairs(spark, sf).select("id_a", "id_b")
+        cc = dd.connected_components(pairs)
+        return cc.select(F.col("node").alias("vec_id"), "cluster_id")
+
+    q["semantic_dup_clusters"] = semantic_dup_clusters
+
+    def token_budget(spark, sf):
+        """The table every training run starts from: whitespace-token
+        totals per (split, lang)."""
+        d = textstats.deterministic_split(_t(spark, sf, "documents"))
+        return d.groupBy("split", "lang").agg(
+            F.sum(textstats.token_count_ws("text").cast("long")).alias(
+                "tokens_ws"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    q["token_budget"] = token_budget
+
     def length_histogram(spark, sf):
         """Corpus length distribution in log2 buckets — the first
         diagnostic plotted before setting filter thresholds."""
@@ -2209,15 +2233,16 @@ def oracle_sql() -> dict[str, str]:
     # connected components = transitive closure (recursive CTE), component
     # id = smallest reachable node — mirrors dedup.connected_components'
     # min-label-propagation fixpoint exactly.
-    _cc_tail = (
-        f"p AS ({_mh_pairs_sel}), "
-        "e AS (SELECT id_a AS u, id_b AS v FROM p "
+    # transitive closure over any CTE named p(id_a, id_b)
+    _closure_tail = (
+        "ed AS (SELECT id_a AS u, id_b AS v FROM p "
         "UNION SELECT id_b, id_a FROM p), "
-        "reach(u, v) AS (SELECT u, v FROM e UNION "
-        "SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), "
+        "reach(u, v) AS (SELECT u, v FROM ed UNION "
+        "SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u), "
         "comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id "
         "FROM reach GROUP BY u)"
     )
+    _cc_tail = f"p AS ({_mh_pairs_sel}), {_closure_tail}"
     _cc_ctes = f"{_mh_ctes}, {_cc_tail}"
     o["dedup_clusters"] = (
         f"WITH RECURSIVE {_cc_ctes} SELECT doc_id, cluster_id FROM comp"
@@ -2258,6 +2283,14 @@ def oracle_sql() -> dict[str, str]:
         "b AS (SELECT DISTINCT doc_id AS bench_id, g FROM g WHERE doc_id < 10) "
         "SELECT d.doc_id, count(DISTINCT d.g) AS n_shared FROM g d JOIN b "
         "ON d.g = b.g AND d.doc_id <> b.bench_id GROUP BY 1"
+    )
+    o["token_budget"] = (
+        "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE "
+        "'test' END AS split, lang, CAST(sum(CAST(coalesce(len("
+        "regexp_extract_all(text, '\\S+')), 0) AS BIGINT)) AS BIGINT) AS "
+        "tokens_ws, count(*) AS n_docs FROM (SELECT lang, text, "
+        "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS "
+        "BIGINT) % 100 AS b FROM documents) GROUP BY 1, 2"
     )
     o["length_histogram"] = (
         "SELECT CAST(floor(log2(coalesce(n_chars, 0) + 1)) AS BIGINT) AS "
@@ -2393,6 +2426,12 @@ def oracle_sql() -> dict[str, str]:
         + _nb.replace("bv", "b.v")
         + ") END, 5) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id) "
         "WHERE cos >= 0.3"
+    )
+    # semantic clusters: the emb-pairs query (its own WITH) nested as p,
+    # then the shared transitive-closure tail
+    o["semantic_dup_clusters"] = (
+        f"WITH RECURSIVE p AS ({o['emb_neardup_pairs']}), {_closure_tail} "
+        "SELECT doc_id AS vec_id, cluster_id FROM comp"
     )
 
     # ---- multimodal stub (mirrors fake_decode_py) ----
