@@ -223,14 +223,14 @@ def connected_components(
     ``min(self, min(neighbors))`` and each round takes the min of its own
     label and its neighbors' labels; fixpoint = component minimum. One
     equi-join + groupBy shuffle per round, both keyed on node id (uniform,
-    AQE-splittable); rounds needed = max graph distance from each
-    component's min node, i.e. O(diameter). Near-dup graphs from LSH are
-    dense small clusters (diameter ≲ 3), so this converges in a handful of
-    rounds; for adversarial long-chain graphs at web scale, the
-    alternating large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014) converges
-    in O(log^2 n) rounds with the same per-round shuffle shape and is the
-    drop-in upgrade. Each generation is eagerly ``localCheckpoint``-ed:
+    AQE-splittable), followed by a pointer-jumping step (label ← label's
+    label, Shiloach–Vishkin path halving) that doubles the propagation
+    horizon per round — O(log diameter) rounds total, so long-chain
+    graphs (e.g. cosine-threshold chains in embedding space) converge in
+    the same handful of rounds as dense LSH cliques. The alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) is the equivalent
+    alternative at web scale. Each generation is eagerly ``localCheckpoint``-ed:
     plain persist is NOT enough for iterative plans — the cache is only
     matched at physical planning, so the *analyzed* tree still doubles per
     round (each generation references the previous twice) and Catalyst
@@ -260,12 +260,27 @@ def connected_components(
                 .groupBy(F.col("v").alias("u"))
                 .agg(F.min("label").alias("nbr_min"))
             )
+            propagated = labels.join(nbr_min, "u", "left").select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jumping: labels are themselves node ids, so follow
+            # label→label(label) and take the min — halves the remaining
+            # path to the component minimum every round
             new_labels = (
-                labels.join(nbr_min, "u", "left")
+                propagated.alias("x")
+                .join(
+                    propagated.alias("y"),
+                    F.col("x.label") == F.col("y.u"),
+                    "left",
+                )
                 .select(
-                    "u",
+                    F.col("x.u").alias("u"),
                     F.least(
-                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                        F.col("x.label"),
+                        F.coalesce(F.col("y.label"), F.col("x.label")),
                     ).alias("label"),
                 )
                 .localCheckpoint(eager=True)
