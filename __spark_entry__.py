@@ -460,6 +460,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["value_outliers"] = value_outliers
 
+    def robust_outliers(spark, sf):
+        """MAD-based robust outliers (|dev|/1.4826·MAD ≥ 3.5): immune to
+        the contamination that inflates stddev in the z-score gate."""
+        ev = _t(spark, sf, "events")
+        med = ev.groupBy("event_type").agg(
+            F.percentile("value", 0.5).alias("med")
+        )
+        dev = ev.join(F.broadcast(med), "event_type").select(
+            "event_id",
+            "event_type",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        mad = dev.groupBy("event_type").agg(
+            F.percentile("adev", 0.5).alias("mad")
+        )
+        return (
+            dev.join(F.broadcast(mad), "event_type")
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("adev") / (1.4826 * F.col("mad")), 4).alias("rz"),
+            )
+            .filter(F.col("rz") >= 3.5)
+        )
+
+    q["robust_outliers"] = robust_outliers
+
+    def interarrival_stats(spark, sf):
+        """Per-user inter-arrival gaps in exact microseconds (integer
+        math end-to-end so the oracle is bit-identical); avg computed as
+        exact-sum/count."""
+        _utc(spark)
+        ev = _t(spark, sf, "events")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gaps = ev.select(
+            "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+        ).filter(F.col("gap_us").isNotNull())
+        return gaps.groupBy("user_id").agg(
+            F.round(
+                F.sum("gap_us").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+
+    q["interarrival_stats"] = interarrival_stats
+
     def funnel_counts(spark, sf):
         """Ordered funnel: users who did A, then B after A, then C after
         B (strict event-time order via min-timestamp chaining — one
@@ -2056,6 +2106,24 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1) "
         "SELECT est.event_type, round(e, 4) AS estimate, exact "
         "FROM est JOIN ex ON est.event_type = ex.event_type"
+    )
+    o["robust_outliers"] = (
+        "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+        "FROM events GROUP BY 1), "
+        "dev AS (SELECT event_id, e.event_type, abs(value - med) AS adev "
+        "FROM events e JOIN med USING (event_type)), "
+        "mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad "
+        "FROM dev GROUP BY 1) "
+        "SELECT event_id, dev.event_type, round(adev / (1.4826 * mad), 4) "
+        "AS rz FROM dev JOIN mad ON dev.event_type = mad.event_type "
+        "WHERE round(adev / (1.4826 * mad), 4) >= 3.5"
+    )
+    o["interarrival_stats"] = (
+        "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+        "SELECT user_id, round(CAST(sum(gap_us) AS DOUBLE) / count(*), 4) "
+        "AS avg_gap_us, max(gap_us) AS max_gap_us, count(*) AS n_gaps "
+        "FROM g WHERE gap_us IS NOT NULL GROUP BY 1"
     )
     o["funnel_counts"] = (
         "WITH a AS (SELECT user_id, min(CASE WHEN event_type = 'click' "

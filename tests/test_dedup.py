@@ -150,3 +150,11 @@ def test_keep_canonical_quality_then_id(spark):
     got = {r["cluster_id"]: r for r in keep_canonical(docs, clusters).collect()}
     assert got[1]["keep_id"] == 2 and got[1]["n_members"] == 3
     assert got[10]["keep_id"] == 10 and got[10]["n_members"] == 2
+
+
+def test_connected_components_100_node_chain_converges_logarithmically(spark):
+    """Pointer jumping makes a 100-node chain (diameter 99) converge
+    within the default 15-round budget — pure min-label propagation
+    would need ~99 rounds."""
+    got = _cc(spark, [(i, i + 1) for i in range(1, 100)])
+    assert got == {i: 1 for i in range(1, 101)}
