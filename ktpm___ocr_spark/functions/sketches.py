@@ -31,9 +31,13 @@ def hll_distinct(
     """Per-group portable-HLL distinct estimate: (group, estimate).
 
     register index = low 6 bits of the 60-bit sha-prefix hash;
-    rho = 1 + trailing-zero count of the remaining bits (lowest-set-bit
-    isolation ``w & -w`` + exact ``log2`` of the power of two — both
-    engine-portable); registers = max(rho) per (group, idx); estimate =
+    rho = 1 + trailing-zero count of the remaining bits, computed with
+    EXACT integer arithmetic: isolate the lowest set bit (``w & -w``, a
+    power of two) and take the length of its binary rendering — rho ==
+    length(bin(lsb)). No float log anywhere, so no libm 1-ulp hazard can
+    make engines disagree on a register value (a float ``log2`` cast to
+    int truncates in Spark but rounds under DuckDB CAST); registers =
+    max(rho) per (group, idx); estimate =
     alpha·m²/Σ2^−M_j with absent registers contributing 2⁰, corrected by
     linear counting below 2.5·m when empty registers remain.
     """
@@ -44,7 +48,8 @@ def hll_distinct(
     w = F.shiftright(h, 6)
     rho = (
         F.when(w == 0, F.lit(61))  # 2^-61 ~ 0: exhausted hash bits
-        .otherwise(F.log2(w.bitwiseAND(-w)).cast("int") + 1)
+        # exact: bin() of the isolated lowest set bit has rho digits
+        .otherwise(F.length(F.bin(w.bitwiseAND(-w))))
     )
     regs = (
         df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))

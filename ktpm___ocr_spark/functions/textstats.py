@@ -385,7 +385,14 @@ def tfidf_top_terms(
     the lexicographically smaller term).
 
     Shape: (doc, term) counts → term document-frequency (second hash agg)
-    → broadcast-join idf back (|vocab| rows) → per-doc top-k window.
+    → equi-join idf back on ``term`` → per-doc top-k window.
+
+    Scale note: the idf relation is VOCABULARY-sized — ~O(corpus^β) terms,
+    10⁷–10⁸ at 100 TB of web text — so it must NOT carry a broadcast hint
+    (that forces a driver-side collect → OOM at scale). The join key is
+    already ``term``; AQE picks broadcast at small SF and shuffled-hash /
+    sort-merge at scale from runtime sizes. Only ``n_docs`` (exactly one
+    row at every SF) keeps an explicit broadcast.
     """
     terms = df.select(
         F.col(id_col), F.explode(words_array(F.col(text_col))).alias("term")
@@ -399,7 +406,7 @@ def tfidf_top_terms(
             "idf"
         ),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(
         id_col,
         "term",
         F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),

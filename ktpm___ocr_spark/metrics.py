@@ -92,18 +92,47 @@ class CheckpointedRun:
     def manifest_path(self) -> str:
         return os.path.join(self.out_dir, "_manifest.json")
 
-    def committed(self) -> set[int]:
+    def _read_manifest(self) -> dict:
         if not os.path.exists(self.manifest_path):
-            return set()
+            return {"entries": [], "status": "running"}
         with open(self.manifest_path) as f:
-            return {e["bucket"] for e in json.load(f)["entries"]}
+            m = json.load(f)
+        m.setdefault("status", "running")
+        return m
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic manifest swap
+
+    def committed(self) -> set[int]:
+        return {e["bucket"] for e in self._read_manifest()["entries"]}
+
+    def status(self) -> str:
+        """'running' | 'cancelled' | 'complete' — the run's observable
+        state, mirroring the reference's job cancel/retry endpoints
+        (``server.js:339-351`` cancel marker, ``server.js:354-366`` retry
+        re-enqueue). A cancelled run keeps every committed bucket; the next
+        ``run()`` call IS the retry — it flips status back to running and
+        processes only the complement."""
+        return self._read_manifest()["status"]
+
+    def cancel(self, reason: str = "") -> None:
+        """Mark the run cancelled (no bucket data is touched). Committed
+        buckets remain committed, so a later ``run()`` resumes identically
+        to a crash-resume."""
+        m = self._read_manifest()
+        m["status"] = "cancelled"
+        m["cancelled_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if reason:
+            m["cancel_reason"] = reason
+        self._write_manifest(m)
 
     def _commit(self, bucket: int, rows: int, n_bytes: int = 0) -> None:
-        entries = []
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                entries = json.load(f)["entries"]
-        entries.append(
+        m = self._read_manifest()
+        m["entries"].append(
             {
                 "bucket": bucket,
                 "rows": rows,
@@ -112,10 +141,10 @@ class CheckpointedRun:
                 "snapshot_id": uuid.uuid4().hex,
             }
         )
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"entries": entries}, f, indent=1)
-        os.replace(tmp, self.manifest_path)  # atomic manifest swap
+        m["status"] = (
+            "complete" if len(m["entries"]) >= self.n_buckets else "running"
+        )
+        self._write_manifest(m)
 
     def bucket_col(self):
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
@@ -135,13 +164,24 @@ class CheckpointedRun:
         a staging dir; each bucket then commits via an atomic directory move
         + manifest append. (The per-bucket-filter formulation would rescan
         the source once per bucket — a 16× read amplification at 100 TB.)
-        Contract: ``transform`` must preserve the ``key`` column (it is the
-        bucket identity); row counts come from parquet footers, not a
-        data re-read.
+        Contract: ``transform`` must be BUCKET-LOCAL — every output row must
+        derive only from input rows of its own bucket (row-wise maps,
+        per-``key`` aggregations, explodes keyed by ``key`` all qualify; a
+        cross-bucket aggregate or join does NOT: it would see only the todo
+        subset on a resumed run and silently diverge from a clean run). It
+        must also preserve the ``key`` column (the bucket identity — checked
+        here). Row counts come from parquet footers, not a data re-read.
+
+        Calling ``run()`` on a cancelled manifest is the retry: status flips
+        back to running and only the complement is processed.
         """
         import shutil
 
         done: list[int] = []
+        m = self._read_manifest()
+        if m["status"] == "cancelled":  # retry after cancel (server.js:354-366)
+            m["status"] = "running"
+            self._write_manifest(m)
         todo = [b for b in range(self.n_buckets) if b not in self.committed()]
         if not todo:
             return done
@@ -159,15 +199,25 @@ class CheckpointedRun:
         staging = os.path.join(self.out_dir, f"_staging_{uuid.uuid4().hex[:8]}")
         try:
             out.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
-            staged = self.spark.read.parquet(staging)
-            # count(*) per partition dir is satisfied from footer metadata
-            counts = {
-                r["_bucket"]: r["n"]
-                for r in staged.groupBy("_bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            empty_schema = staged.drop("_bucket").schema
+            # Zero rows across ALL todo buckets ⇒ partitionBy writes no
+            # parquet files and a read of `staging` would fail schema
+            # inference — every bucket then commits empty from the
+            # transform's statically-known schema.
+            any_staged = any(
+                fn.startswith("_bucket=") for fn in os.listdir(staging)
+            )
+            if any_staged:
+                staged = self.spark.read.parquet(staging)
+                # count(*) per partition dir is satisfied from footer metadata
+                counts = {
+                    r["_bucket"]: r["n"]
+                    for r in staged.groupBy("_bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                counts = {}
+            empty_schema = out.drop("_bucket").schema
             for b in todo:
                 src_dir = os.path.join(staging, f"_bucket={b}")
                 dst = os.path.join(self.out_dir, f"bucket={b}")

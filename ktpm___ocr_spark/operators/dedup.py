@@ -164,33 +164,41 @@ def minhash_near_dups(
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par, id_col)
     # persist is load-bearing (the self-join consumes bands twice; without
-    # it the whole signature subtree evaluates once per side). Callers that
-    # run many queries on one session reclaim these blocks with
-    # spark.catalog.clearCache() between queries (bench.py does).
+    # it the whole signature subtree evaluates once per side). The relation
+    # is released in the finally block below — the verified pair set (tiny
+    # vs the bands relation) is eagerly materialized first, so no cached
+    # bands blocks outlive the call even in long-lived sessions.
     b = lsh_bands(df, id_col, text_col, k, bands).persist()
-    left = b.alias("l")
-    right = b.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    try:
+        left = b.alias("l")
+        right = b.alias("r")
+        cand = (
+            left.join(
+                right,
+                (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        texts = df.select(F.col(id_col), F.col(text_col))
+        verified = (
+            cand.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
+            .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+            .withColumn("jaccard", F.round(ngram_jaccard(F.col("text_a"), F.col("text_b")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        .distinct()
-    )
-    texts = df.select(F.col(id_col), F.col(text_col))
-    verified = (
-        cand.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
-        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
-        .withColumn("jaccard", F.round(ngram_jaccard(F.col("text_a"), F.col("text_b")), 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+        # materialize the (small) result so the bands relation can be freed
+        # here rather than leaking until a caller-side clearCache; the
+        # checkpoint blocks ARE the returned data and are reclaimed by
+        # ContextCleaner when the frame is dropped (or _release_checkpoint).
+        return verified.localCheckpoint(eager=True)
+    finally:
+        b.unpersist()
 
 
 def _release_checkpoint(df: DataFrame) -> None:

@@ -43,6 +43,7 @@ def memo_join(
     compute: Compute,
     stage: str,
     broadcast_cache: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Lookup-or-compute one stage against a cache table.
 
@@ -52,6 +53,13 @@ def memo_join(
     back to compute (the reference's corrupt-JSON fallback,
     ``ocrFilter.js:35-40``): a cache row whose value columns are all NULL
     counts as a miss.
+
+    With ``materialize=True`` (default) the union is eagerly checkpointed
+    and the persisted probe join is released before returning, so the
+    operator leaves no cached blocks behind in long-lived sessions. Pass
+    ``materialize=False`` to keep the result fully lazy (e.g. when chaining
+    several memo stages into one plan) — the caller then owns reclaiming
+    the probe relation via ``spark.catalog.clearCache()``.
     """
     from functools import reduce
     from operator import or_
@@ -64,16 +72,21 @@ def memo_join(
         c = F.broadcast(c)
     # persist so the probe join executes ONCE: hits, misses, and the
     # compute-over-misses leg all read the cached join output instead of
-    # re-evaluating it (2–3×). Reclaimed by spark.catalog.clearCache()
-    # between queries in long-lived sessions (bench.py does).
+    # re-evaluating it (2–3×).
     probed = df.join(c, on=keys, how="left").persist()
-
-    hits = probed.filter(has_value).withColumn(
-        f"{stage}_from_cache", F.lit(True)
-    )
-    misses = probed.filter(~has_value).drop(*value_cols)
-    computed = compute(misses).withColumn(f"{stage}_from_cache", F.lit(False))
-    return hits.unionByName(computed)
+    try:
+        hits = probed.filter(has_value).withColumn(
+            f"{stage}_from_cache", F.lit(True)
+        )
+        misses = probed.filter(~has_value).drop(*value_cols)
+        computed = compute(misses).withColumn(f"{stage}_from_cache", F.lit(False))
+        out = hits.unionByName(computed)
+        if materialize:
+            return out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if materialize:
+            probed.unpersist()
 
 
 def dedup_compute_once(

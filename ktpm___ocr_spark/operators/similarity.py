@@ -131,7 +131,8 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 7,
-    dim: int | None = None,
+    *,
+    dim: int,
     round_dp: int = 5,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: L independent tables of
@@ -139,9 +140,11 @@ def lsh_topk(
     (union ≡ the standard OR-construction), exact cosine re-rank within
     candidates. Recall tunes with (H, L); the scale path when |queries|
     is too large to broadcast — every join is an equi-join on small
-    (table, bucket) keys, never a cross product."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    (table, bucket) keys, never a cross product.
+
+    ``dim`` is REQUIRED (keyword-only): a first-row probe during plan
+    construction would be a hidden driver-side action, so the embedding
+    dimension must come from the caller's schema knowledge."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -179,18 +182,17 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
-    dim: int | None = None,
+    *,
+    dim: int,
     round_dp: int = 5,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing + exact verify.
 
     Self-join restricted to same-bucket pairs (near-identical vectors
     collide with high probability at 8 planes), cosine ≥ threshold.
-    Pass ``dim`` explicitly in pipelines — the fallback probes the first
-    row, which is a driver-side action during plan construction.
+    ``dim`` is REQUIRED (keyword-only): a first-row probe during plan
+    construction would be a hidden driver-side action.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col),

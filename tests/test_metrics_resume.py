@@ -59,6 +59,49 @@ def test_rerun_on_complete_manifest_is_noop(spark, docs, tmp_path_factory):
     assert run.run(docs, extract_narrow) == []  # nothing left to do
 
 
+def test_cancel_then_retry_resumes_identically(spark, docs, tmp_path_factory):
+    """S8 cancel observability (reference server.js:339-351 cancel,
+    :354-366 retry): cancel marks the manifest, keeps committed buckets,
+    and the next run() IS the retry — identical output to a clean run."""
+    out1 = str(tmp_path_factory.mktemp("ckpt_cancel"))
+    out2 = str(tmp_path_factory.mktemp("ckpt_cancel_clean"))
+
+    run = CheckpointedRun(spark, out1, n_buckets=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run.run(docs, extract_narrow, fail_after=3)
+    run.cancel(reason="user requested")
+    assert run.status() == "cancelled"
+    assert len(run.committed()) == 3  # cancel keeps committed work
+
+    retried = CheckpointedRun(spark, out1, n_buckets=8)
+    retried.run(docs, extract_narrow)
+    assert retried.status() == "complete"
+
+    clean = CheckpointedRun(spark, out2, n_buckets=8)
+    clean.run(docs, extract_narrow)
+    assert clean.status() == "complete"
+
+    def as_map(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in r["spans"]] for r in df.collect()
+        }
+
+    assert as_map(retried.result()) == as_map(clean.result())
+
+
+def test_zero_row_transform_commits_empty_buckets(spark, docs, tmp_path_factory):
+    """A transform that filters everything out must still commit every
+    bucket (empty, from the transform's schema) — partitionBy writes no
+    files in that case and the staging read would otherwise crash."""
+    out = str(tmp_path_factory.mktemp("ckpt_empty"))
+    run = CheckpointedRun(spark, out, n_buckets=4)
+    done = run.run(docs, lambda df: df.filter(F.lit(False)))
+    assert done == [0, 1, 2, 3]
+    assert run.status() == "complete"
+    assert run.result().count() == 0
+    assert set(run.result().columns) == set(docs.columns)
+
+
 def test_run_with_metrics_counts(spark, docs):
     result, metrics_fn = run_with_metrics(
         spark,

@@ -49,6 +49,15 @@ def test_tpch_q3_has_no_broadcast_hint_on_orders(spark, sf01_dir):
     assert "ResolvedHint" not in df2._jdf.queryExecution().analyzed().toString()
 
 
+def test_tfidf_has_no_broadcast_hint_on_vocab(spark, sf01_dir):
+    """The idf relation is vocabulary-sized (10⁷–10⁸ terms at 100 TB): a
+    broadcast hint on it would force a driver collect at scale. Only the
+    one-row n_docs relation may be hinted; AQE decides the term join."""
+    df = em.queries()["tfidf_top_terms"](spark, sf01_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed  # n_docs only
+
+
 def test_whole_stage_codegen_covers_q1(spark, sf01_dir):
     df = em.queries()["tpch_q1"](spark, sf01_dir)
     df.collect()  # AQE finalizes THIS plan only when it executes

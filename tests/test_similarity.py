@@ -56,7 +56,7 @@ def test_brute_force_matches_numpy(spark, emb):
 def test_lsh_topk_is_subset_with_decent_recall(spark, emb):
     queries = emb.orderBy("vec_id").limit(N_QUERIES)
     exact = brute_force_topk(emb, queries, k=K).collect()
-    approx = lsh_topk(emb, queries, k=K, n_planes=4, n_tables=16).collect()
+    approx = lsh_topk(emb, queries, k=K, n_planes=4, n_tables=16, dim=64).collect()
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     # approx neighbors carry true cosine values, and recall is high at
@@ -78,7 +78,7 @@ def test_embedding_near_dups_finds_planted_pair(spark, emb):
     dup = spark.createDataFrame(
         [(999999, row["embedding"], row["label"])], emb.schema
     )
-    got = embedding_near_dups(emb.unionByName(dup), threshold=0.999).collect()
+    got = embedding_near_dups(emb.unionByName(dup), threshold=0.999, dim=64).collect()
     pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in got}
     assert (row["vec_id"], 999999) in pairs
     assert pairs[(row["vec_id"], 999999)] == 1.0
