@@ -1929,6 +1929,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_drift_l1"] = drift_l1_q
 
+    def containment_q(spark, sf):
+        """Sub-document duplication: LSH candidates (low Jaccard bar)
+        re-scored by asymmetric n-gram containment in both directions."""
+        d = _t(spark, sf, "documents")
+        return dd.containment_pairs(d, "doc_id", "text", threshold=0.5)
+
+    q["dedup_containment_pairs"] = containment_q
+
+    def bloom_probe_q(spark, sf):
+        """Cross-corpus membership dedup: Bloom filter (portable sha bit
+        positions, ≤2^16 set-bit rows — broadcastable at any corpus size)
+        built over the 'previously crawled' partition (doc_id % 5 == 0),
+        probed by the rest; exact verdict alongside so false positives
+        are observable (false negatives impossible)."""
+        from ktpm___ocr_spark.functions.bloom import bloom_build, bloom_probe
+
+        d = _t(spark, sf, "documents")
+        key = F.sha2(F.coalesce("text", F.lit("")), 256)
+        ref = d.filter(F.col("doc_id") % 5 == 0)
+        probe = d.filter(F.col("doc_id") % 5 != 0)
+        bits = bloom_build(ref, key)
+        hits = bloom_probe(bits, probe, "doc_id", key)
+        # exact leg is corpus-sized — NO broadcast hint (AQE decides);
+        # it exists to make the Bloom FP rate observable in the check,
+        # the bloom bits relation above is the actual scale path
+        ref_keys = ref.select(key.alias("ks")).distinct().withColumn(
+            "_hit", F.lit(True)
+        )
+        exact = (
+            probe.select("doc_id", key.alias("ks"))
+            .join(ref_keys, "ks", "left")
+            .select(
+                "doc_id", F.coalesce("_hit", F.lit(False)).alias("exact_dup")
+            )
+        )
+        return hits.join(exact, "doc_id")
+
+    q["bloom_dedup_probe"] = bloom_probe_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3097,6 +3136,72 @@ WHERE rn <= 5
         f"WITH {_drift_bins_ctes} "
         "SELECT CAST(sum(CAST(absdiff AS DECIMAL(18,6))) AS DOUBLE) "
         "AS l1_distance, count(*) AS n_bins FROM bins"
+    )
+
+    # containment over LSH candidates: same band CTEs as minhash_pairs,
+    # Jaccard-verified at the LOW bar (0.2, keeps asymmetric dups), then
+    # bidirectional containment scored and filtered at 0.5
+    _words_docs2 = (
+        "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
+        "w -> w <> '')"
+    )
+    _shingles2 = (
+        f"list_distinct(CASE WHEN len({_words_docs2}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({_words_docs2}) - 2), "
+        f"i -> {_words_docs2}[i] || ' ' || {_words_docs2}[i+1] || ' ' || {_words_docs2}[i+2]) "
+        f"ELSE [array_to_string({_words_docs2}, ' ')] END)"
+    )
+    _sig2 = (
+        "list_transform(generate_series(0, 15), i -> substr("
+        "list_aggregate(list_transform(sh, g -> sha256(CAST(i AS VARCHAR) || "
+        "chr(31) || g)), 'min'), 1, 12))"
+    )
+    # rows=1 banding (candidate ⇔ ANY of the 16 minhash values equal) —
+    # mirrors containment_pairs' low-Jaccard candidate scheme exactly
+    o["dedup_containment_pairs"] = (
+        f"WITH s AS (SELECT doc_id, {_shingles2} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, sh, {_sig2} AS sg FROM s), "
+        "bands AS (SELECT doc_id, b AS band_idx, sha256(sg[b+1]) AS "
+        "band_hash FROM sig, unnest(generate_series(0, 15)) AS t(b)), "
+        "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
+        "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "
+        "r.band_hash AND l.doc_id < r.doc_id), "
+        "jp AS (SELECT id_a, id_b, sa.sh AS sha_, sb.sh AS shb FROM cand "
+        "JOIN s sa ON cand.id_a = sa.doc_id JOIN s sb ON cand.id_b = sb.doc_id), "
+        "sc AS (SELECT id_a, id_b, "
+        "round(CASE WHEN len(sha_) = 0 THEN 0.0 ELSE "
+        "CAST(len(list_intersect(sha_, shb)) AS DOUBLE) / len(sha_) END, 4) "
+        "AS cont_a_in_b, "
+        "round(CASE WHEN len(shb) = 0 THEN 0.0 ELSE "
+        "CAST(len(list_intersect(shb, sha_)) AS DOUBLE) / len(shb) END, 4) "
+        "AS cont_b_in_a FROM jp) "
+        "SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM sc "
+        "WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5"
+    )
+
+    # Bloom membership: identical bit positions both engines; hit ⇔ every
+    # distinct probe position set; exact verdict alongside (FP observable)
+    _bpos = (
+        "CAST(('0x' || substr(sha256(CAST(r AS VARCHAR) || '|' || ks), 1, "
+        "15)) AS BIGINT) % 65536"
+    )
+    o["bloom_dedup_probe"] = (
+        "WITH keyd AS (SELECT doc_id, sha256(coalesce(text, '')) AS ks "
+        "FROM documents), "
+        "ref AS (SELECT ks FROM keyd WHERE doc_id % 5 = 0), "
+        "probe AS (SELECT doc_id, ks FROM keyd WHERE doc_id % 5 <> 0), "
+        f"bits AS (SELECT DISTINCT {_bpos} AS pos FROM ref, "
+        "unnest([0, 1, 2, 3]) AS t(r)), "
+        f"pp AS (SELECT DISTINCT doc_id, {_bpos} AS pos FROM probe, "
+        "unnest([0, 1, 2, 3]) AS t(r)), "
+        "need AS (SELECT doc_id, count(*) AS n_need FROM pp GROUP BY 1), "
+        "got AS (SELECT doc_id, count(*) AS n_got FROM pp JOIN bits "
+        "USING (pos) GROUP BY 1), "
+        "ex AS (SELECT p.doc_id, EXISTS (SELECT 1 FROM ref WHERE ref.ks = "
+        "p.ks) AS exact_dup FROM probe p) "
+        "SELECT need.doc_id, coalesce(n_got, 0) = n_need AS bloom_hit, "
+        "exact_dup FROM need LEFT JOIN got USING (doc_id) "
+        "JOIN ex USING (doc_id)"
     )
 
     return o

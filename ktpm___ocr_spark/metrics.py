@@ -250,6 +250,21 @@ class CheckpointedRun:
         ]
         return self.spark.read.parquet(*paths)
 
+    def result_asof(self, n_commits: int) -> DataFrame:
+        """Snapshot time travel: the table as of the first ``n_commits``
+        manifest entries (Iceberg's read-at-snapshot, over this class's
+        manifest-as-log). Commit order is deterministic (buckets process
+        in sorted todo order), so an as-of read is reproducible; committed
+        bucket directories are immutable after their atomic move, so the
+        snapshot is consistent even while a later run() appends."""
+        entries = self._read_manifest()["entries"][:n_commits]
+        if not entries:
+            raise ValueError("no commits at or before the requested snapshot")
+        paths = [
+            os.path.join(self.out_dir, f"bucket={e['bucket']}") for e in entries
+        ]
+        return self.spark.read.parquet(*paths)
+
 
 @dataclass
 class IncrementalRun:
