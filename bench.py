@@ -287,12 +287,39 @@ def main() -> None:
             "best_round_efficiency": max(p["eff"] for p in per_round),
         }
 
+    def probe_level(n: int, n_docs: int) -> float:
+        """One pinned fresh-JVM run at local[n] → docs/sec (box-cap probe)."""
+        import shutil
+
+        taskset = shutil.which("taskset")
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--scaling-worker",
+            f"local[{n}]",
+            str(n_docs),
+        ]
+        if taskset:
+            cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        return json.loads(p.stdout.strip().splitlines()[-1])["docs_per_sec"]
+
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         # headline pair gets one extra best-of round: its levels are small
         # enough that a single noisy window distorts the ratio most
         small = run_pair(*PAIR_SMALL, PAIR_SMALL_DOCS, rounds + 1)
         large = run_pair(*PAIR_LARGE, SCALING_DOCS, rounds)
+        # Degenerate-regime detector for the full-box pair: this job class
+        # saturates the box around ~16 busy cores (see BENCH/BASELINE.md),
+        # so when the host lends local[8] a rate near that saturation
+        # throughput, 4× headroom does not physically exist and the 8→32
+        # ratio measures the box cap, not the engine. Probe the cap at
+        # local[16] and report the attainable bound alongside.
+        cap16 = probe_level(16, SCALING_DOCS)
+        box_cap = max(cap16, large["docs_per_sec_4n"])
+        n_lo = large["docs_per_sec_n"]
+        attainable = min(1.0, box_cap / (4.0 * n_lo)) if n_lo else None
         controls = machine_controls()
         bw_ceiling = controls["bandwidth_ceiling_n_to_4n"]
         scaling = {
@@ -322,6 +349,27 @@ def main() -> None:
                 large["best_round_efficiency"] / bw_ceiling, 3
             )
             if bw_ceiling > 0
+            else None,
+            # Attainable-bound accounting: eff ≤ box_cap/(4·n_lo) by pure
+            # arithmetic. cap_limited=true ⇒ the pair is degenerate this
+            # session (local[8] already near the box's saturated rate — no
+            # 4× headroom physically exists) and the HEADLINE 1→4 pair is
+            # the only regime where the hardware can actually quadruple.
+            "box_cap_docs_per_sec": round(box_cap, 1),
+            "box_cap_probe_local16": round(cap16, 1),
+            "pair_8_32_n_lo_fraction_of_cap": round(n_lo / box_cap, 3)
+            if box_cap
+            else None,
+            "pair_8_32_max_attainable_efficiency": round(attainable, 3)
+            if attainable is not None
+            else None,
+            "pair_8_32_efficiency_vs_attainable": round(
+                large["best_round_efficiency"] / attainable, 3
+            )
+            if attainable
+            else None,
+            "pair_8_32_cap_limited": bool(n_lo / box_cap > 0.5)
+            if box_cap
             else None,
         }
     extract = extraction_run(f"local[{CPUS}]", variant="arrow_native")
