@@ -1555,6 +1555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if fmt == "csv":
             flat.write.mode("overwrite").option("header", "true").csv(d)
             back = rd.read_events_csv(spark, d)
+        elif fmt == "orc":
+            flat.write.mode("overwrite").orc(d)
+            back = rd.read_events_orc(spark, d)
         else:
             flat.write.mode("overwrite").json(d)
             back = rd.read_events_json(spark, d)
@@ -1567,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_csv_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "csv")
     q["source_json_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "json")
+    q["source_orc_agg"] = lambda spark, sf: _staged_source_agg(spark, sf, "orc")
 
     def storage_compaction(spark, sf):
         """Small-files compaction: fragment the documents table into 24
@@ -1968,6 +1972,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_dedup_probe"] = bloom_probe_q
 
+    def cache_refresh_q(spark, sf):
+        """MERGE-style cache upsert (the reference's SET-after-compute,
+        ``preprocessFilter.js:36-41``, as a batch merge): newly computed
+        rows replace their keys, untouched cache rows survive via
+        anti-join — the matched-update / not-matched-keep halves of
+        MERGE INTO."""
+        from ktpm___ocr_spark.operators.memo import refresh_cache
+
+        ev = _t(spark, sf, "events")
+        old = (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        new = (
+            ev.filter(F.col("event_type").startswith("c"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return refresh_cache(old, new, ["event_type"], ["n"])
+
+    q["j_cache_refresh"] = cache_refresh_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2210,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["source_csv_agg"] = _src_agg_sql
     o["source_json_agg"] = _src_agg_sql
+    o["source_orc_agg"] = _src_agg_sql
     o["storage_compaction"] = "SELECT doc_id, lang, n_chars FROM documents"
     o["a4_success_failed"] = (
         "SELECT CASE WHEN event_type IN ('error') THEN 'failed' ELSE "
@@ -3202,6 +3230,16 @@ WHERE rn <= 5
         "SELECT need.doc_id, coalesce(n_got, 0) = n_need AS bloom_hit, "
         "exact_dup FROM need LEFT JOIN got USING (doc_id) "
         "JOIN ex USING (doc_id)"
+    )
+
+    o["j_cache_refresh"] = (
+        "WITH old AS (SELECT event_type, count(*) AS n FROM events "
+        "WHERE event_id % 2 = 0 GROUP BY 1), "
+        "new AS (SELECT event_type, count(*) AS n FROM events "
+        "WHERE event_type LIKE 'c%' GROUP BY 1) "
+        "SELECT event_type, n FROM new "
+        "UNION ALL SELECT o.event_type, o.n FROM old o WHERE NOT EXISTS "
+        "(SELECT 1 FROM new WHERE new.event_type = o.event_type)"
     )
 
     return o

@@ -265,9 +265,22 @@ def quantized_topk(
     broadcast/no-corpus-shuffle shape as brute_force_topk."""
 
     def dq(df):
-        q = quantize_int8(F.col(vec_col))
+        # let-bind BOTH the quantize struct and the scalar scale: a bare
+        # q["q_scale"] reference inside the per-element dequantize lambda
+        # would re-inline the whole quantize subtree (array_max included)
+        # once per element — O(d²) per vector, measured ~2.7× slower on
+        # the 64-dim bench corpus.
         return df.select(
-            F.col(id_col), dequantize(q["q_scale"], q["q_vec"]).alias(vec_col)
+            F.col(id_col),
+            let(
+                quantize_int8(F.col(vec_col)),
+                lambda q: let(
+                    q["q_scale"],
+                    lambda sc: F.transform(
+                        q["q_vec"], lambda y: y.cast("double") * sc / 127.0
+                    ),
+                ),
+            ).alias(vec_col),
         )
 
     return brute_force_topk(dq(corpus), dq(queries), id_col, vec_col, k)

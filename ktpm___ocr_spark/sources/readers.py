@@ -104,6 +104,13 @@ def read_events_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source with the same enforced-schema contract (columnar like
+    parquet — predicate pushdown and column pruning apply; the schema is
+    validated against the file footer by the read, not inferred)."""
+    return spark.read.schema(EVENTS_FLAT_SCHEMA).orc(path)
+
+
 def compact_small_files(
     spark: SparkSession,
     in_dir: str,
