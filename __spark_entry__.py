@@ -3085,10 +3085,8 @@ WHERE rn <= 5
     )
 
     # ---- round-3 breadth: count-min / pagerank / drift ----
-    _words_doc = (
-        "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
-        "w -> w <> '')"
-    )
+    # (reuses the _words/_shingles/_sig fragments defined in the text-
+    # analysis section above — one definition per formulation)
     _cm_rows = "(SELECT unnest([0, 1, 2, 3]) AS row)"
 
     def _cm_col(term_expr: str) -> str:
@@ -3098,7 +3096,7 @@ WHERE rn <= 5
         )
 
     o["cm_heavy_hitters"] = (
-        f"WITH t AS (SELECT unnest({_words_doc}) AS term FROM documents), "
+        f"WITH t AS (SELECT unnest({_words}) AS term FROM documents), "
         f"e AS (SELECT r.row, {_cm_col('t.term')} AS col FROM t, {_cm_rows} r), "
         "sk AS (SELECT row, col, count(*) AS cnt FROM e GROUP BY 1, 2), "
         "top AS (SELECT term, count(*) AS true_cnt FROM t GROUP BY 1 "
@@ -3166,29 +3164,11 @@ WHERE rn <= 5
         "AS l1_distance, count(*) AS n_bins FROM bins"
     )
 
-    # containment over LSH candidates: same band CTEs as minhash_pairs,
-    # Jaccard-verified at the LOW bar (0.2, keeps asymmetric dups), then
-    # bidirectional containment scored and filtered at 0.5
-    _words_docs2 = (
-        "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
-        "w -> w <> '')"
-    )
-    _shingles2 = (
-        f"list_distinct(CASE WHEN len({_words_docs2}) >= 3 THEN "
-        f"list_transform(generate_series(1, len({_words_docs2}) - 2), "
-        f"i -> {_words_docs2}[i] || ' ' || {_words_docs2}[i+1] || ' ' || {_words_docs2}[i+2]) "
-        f"ELSE [array_to_string({_words_docs2}, ' ')] END)"
-    )
-    _sig2 = (
-        "list_transform(generate_series(0, 15), i -> substr("
-        "list_aggregate(list_transform(sh, g -> sha256(CAST(i AS VARCHAR) || "
-        "chr(31) || g)), 'min'), 1, 12))"
-    )
     # rows=1 banding (candidate ⇔ ANY of the 16 minhash values equal) —
     # mirrors containment_pairs' low-Jaccard candidate scheme exactly
     o["dedup_containment_pairs"] = (
-        f"WITH s AS (SELECT doc_id, {_shingles2} AS sh FROM documents), "
-        f"sig AS (SELECT doc_id, sh, {_sig2} AS sg FROM s), "
+        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
         "bands AS (SELECT doc_id, b AS band_idx, sha256(sg[b+1]) AS "
         "band_hash FROM sig, unnest(generate_series(0, 15)) AS t(b)), "
         "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "

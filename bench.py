@@ -238,34 +238,43 @@ def main() -> None:
         )
         return
 
-    def run_pair(n_lo: int, n_hi: int, n_docs: int, rounds: int) -> dict:
-        """Interleave N/4N runs so host-VM load drift hits both levels
-        equally; per level keep the best docs/sec (minima/maxima are the
-        stable signal on this shared box — identical runs vary up to 3×).
-        Workers are taskset-pinned to exactly N CPUs: a local[N] run on a
-        32-core box otherwise gets free GC/JIT help from idle cores that a
-        real N-core executor would not have."""
+    def run_worker(n: int, n_docs: int) -> dict:
+        """One pinned fresh-JVM extraction run at local[n] in a
+        subprocess; raises with the worker's stderr on failure instead of
+        masking it behind a JSON-parse error. Pinning to exactly n CPUs
+        matters: a local[N] run on a 32-core box otherwise gets free
+        GC/JIT help from idle cores a real N-core executor would not."""
         import shutil
 
         taskset = shutil.which("taskset")
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--scaling-worker",
+            f"local[{n}]",
+            str(n_docs),
+        ]
+        if taskset:
+            cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        lines = p.stdout.strip().splitlines()
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling worker local[{n}] failed (rc={p.returncode}): "
+                f"{p.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])
+
+    def run_pair(n_lo: int, n_hi: int, n_docs: int, rounds: int) -> dict:
+        """Interleave N/4N runs so host-VM load drift hits both levels
+        equally; per level keep the best docs/sec (minima/maxima are the
+        stable signal on this shared box — identical runs vary up to 3×)."""
         best: dict[int, dict | None] = {n_lo: None, n_hi: None}
         per_round: list[dict] = []
         for _ in range(rounds):
             got = {}
             for n in (n_lo, n_hi):
-                cmd = [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--scaling-worker",
-                    f"local[{n}]",
-                    str(n_docs),
-                ]
-                if taskset:
-                    cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
-                p = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=1800
-                )
-                r = json.loads(p.stdout.strip().splitlines()[-1])
+                r = run_worker(n, n_docs)
                 got[n] = r["docs_per_sec"]
                 if best[n] is None or r["docs_per_sec"] > best[n]["docs_per_sec"]:
                     best[n] = r
@@ -287,23 +296,6 @@ def main() -> None:
             "best_round_efficiency": max(p["eff"] for p in per_round),
         }
 
-    def probe_level(n: int, n_docs: int) -> float:
-        """One pinned fresh-JVM run at local[n] → docs/sec (box-cap probe)."""
-        import shutil
-
-        taskset = shutil.which("taskset")
-        cmd = [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--scaling-worker",
-            f"local[{n}]",
-            str(n_docs),
-        ]
-        if taskset:
-            cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
-        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-        return json.loads(p.stdout.strip().splitlines()[-1])["docs_per_sec"]
-
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         # headline pair gets one extra best-of round: its levels are small
@@ -316,7 +308,7 @@ def main() -> None:
         # throughput, 4× headroom does not physically exist and the 8→32
         # ratio measures the box cap, not the engine. Probe the cap at
         # local[16] and report the attainable bound alongside.
-        cap16 = probe_level(16, SCALING_DOCS)
+        cap16 = run_worker(16, SCALING_DOCS)["docs_per_sec"]
         box_cap = max(cap16, large["docs_per_sec_4n"])
         n_lo = large["docs_per_sec_n"]
         attainable = min(1.0, box_cap / (4.0 * n_lo)) if n_lo else None

@@ -141,9 +141,13 @@ class CheckpointedRun:
                 "snapshot_id": uuid.uuid4().hex,
             }
         )
-        m["status"] = (
-            "complete" if len(m["entries"]) >= self.n_buckets else "running"
-        )
+        # a cancel() issued while this run is in flight must survive the
+        # commit (the completed bucket still records — cancel keeps work);
+        # the run loop observes it and stops before the next bucket
+        if m["status"] != "cancelled":
+            m["status"] = (
+                "complete" if len(m["entries"]) >= self.n_buckets else "running"
+            )
         self._write_manifest(m)
 
     def bucket_col(self):
@@ -219,6 +223,11 @@ class CheckpointedRun:
                 counts = {}
             empty_schema = out.drop("_bucket").schema
             for b in todo:
+                # cooperative cancellation: a cancel() that landed since
+                # the last commit stops the run before the next bucket —
+                # committed work is kept, the complement resumes on retry
+                if self._read_manifest()["status"] == "cancelled":
+                    break
                 src_dir = os.path.join(staging, f"_bucket={b}")
                 dst = os.path.join(self.out_dir, f"bucket={b}")
                 if os.path.exists(src_dir):

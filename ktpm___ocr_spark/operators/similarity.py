@@ -276,9 +276,7 @@ def quantized_topk(
                 quantize_int8(F.col(vec_col)),
                 lambda q: let(
                     q["q_scale"],
-                    lambda sc: F.transform(
-                        q["q_vec"], lambda y: y.cast("double") * sc / 127.0
-                    ),
+                    lambda sc: dequantize(sc, q["q_vec"]),
                 ),
             ).alias(vec_col),
         )

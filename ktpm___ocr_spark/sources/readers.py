@@ -106,8 +106,13 @@ def read_events_json(spark: SparkSession, path: str) -> DataFrame:
 
 def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source with the same enforced-schema contract (columnar like
-    parquet — predicate pushdown and column pruning apply; the schema is
-    validated against the file footer by the read, not inferred)."""
+    parquet — predicate pushdown and column pruning apply).
+
+    Spark null-fills missing columns when handed an explicit schema, so
+    like ``read_documents`` the check runs against the files' actual
+    footer schema first and raises ``SchemaMismatch`` on a missing or
+    retyped column instead of silently producing NULLs."""
+    _check(EVENTS_FLAT_SCHEMA, spark.read.orc(path).schema, path)
     return spark.read.schema(EVENTS_FLAT_SCHEMA).orc(path)
 
 

@@ -113,5 +113,9 @@ def test_drift_on_hash_split_documents_is_small(spark, docs):
     # hash split: marginals should agree within statistical noise at sf0.001
     assert 0.0 <= row["l1_distance"] < 0.7
     bins = drift_bins(d).collect()
-    assert all(abs(b["p_a"] - b["p_b"]) == b["absdiff"] or True for b in bins)
+    # absdiff is rounded from the RAW proportions while p_a/p_b round
+    # independently, so compare within the 2-ulp-of-rounding envelope
+    assert all(
+        abs(abs(b["p_a"] - b["p_b"]) - b["absdiff"]) <= 2e-6 for b in bins
+    )
     assert sum(b["n_a"] for b in bins) > 0 and sum(b["n_b"] for b in bins) > 0

@@ -89,6 +89,36 @@ def test_cancel_then_retry_resumes_identically(spark, docs, tmp_path_factory):
     assert as_map(retried.result()) == as_map(clean.result())
 
 
+def test_cancel_during_run_stops_and_survives_commit(spark, docs, tmp_path_factory):
+    """A cancel() landing while run() is in flight must (a) not be
+    clobbered by subsequent _commit calls and (b) stop the bucket loop
+    cooperatively, keeping committed work for the retry."""
+    out = str(tmp_path_factory.mktemp("ckpt_midcancel"))
+    run = CheckpointedRun(spark, out, n_buckets=4)
+
+    def cancelling_transform(df):
+        # invoked once, before any bucket commits — models a cancel
+        # arriving mid-run
+        run.cancel(reason="mid-run")
+        return extract_narrow(df)
+
+    done = run.run(docs, cancelling_transform)
+    assert done == []  # loop observed the cancel before the first commit
+    assert run.status() == "cancelled"
+    # retry processes everything and completes
+    retried = CheckpointedRun(spark, out, n_buckets=4)
+    retried.run(docs, extract_narrow)
+    assert retried.status() == "complete"
+    assert retried.result().count() == docs.count()
+    # _commit on a cancelled manifest must preserve the cancel marker
+    other = CheckpointedRun(
+        spark, str(tmp_path_factory.mktemp("ckpt_commit_keep")), n_buckets=4
+    )
+    other.cancel(reason="before any commit")
+    other._commit(0, rows=0)
+    assert other.status() == "cancelled"
+
+
 def test_zero_row_transform_commits_empty_buckets(spark, docs, tmp_path_factory):
     """A transform that filters everything out must still commit every
     bucket (empty, from the transform's schema) — partitionBy writes no
