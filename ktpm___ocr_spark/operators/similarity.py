@@ -24,12 +24,16 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ktpm___ocr_spark.functions.exprutil import let
+from ktpm___ocr_spark.functions.exprutil import let, let2
 from ktpm___ocr_spark.operators.windows import top_n_per_key
 
 
 def _to_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    # native array cast, not a per-element lambda transform: float→double
+    # widening is exact either way, but the Cast expression avoids one
+    # interpreted lambda pass per reference (this column is referenced
+    # dozens of times per vector in the multi-table LSH shape)
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -46,9 +50,21 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    ad, bd = _to_double(a), _to_double(b)
-    d = norm(ad) * norm(bd)
-    return F.when(d == 0, F.lit(0.0)).otherwise(dot(ad, bd) / d)
+    """Let-bound throughout: each input array and the norm product
+    evaluate exactly once per row. Bare references would re-inline the
+    full upstream array expression into every consumer — ``a`` appears in
+    norm's zip_with(a, a) twice, the norm product twice more via the
+    when/otherwise, so an expensive input chain (e.g. the quantize→
+    dequantize columns in ``quantized_topk``) would otherwise evaluate
+    5× per pair, in interpreted (non-codegen) HOF evaluation."""
+
+    def body(ad, bd):
+        return let(
+            norm(ad) * norm(bd),
+            lambda d: F.when(d == 0, F.lit(0.0)).otherwise(dot(ad, bd) / d),
+        )
+
+    return let2(_to_double(a), _to_double(b), body)
 
 
 def brute_force_topk(
@@ -98,7 +114,15 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id as a bitstring, e.g. '01101001'."""
+    """Sign-pattern bucket id as a bitstring, e.g. '01101001'.
+
+    Deliberately NOT let-bound: A/B measurement on the bench corpus shows
+    the let wrapper's extra array materialization per access costs more
+    than the repeated cast transform saves in this shape (16.6 vs 10.4 s
+    for the 16-table ANN query) — the bound value here is consumed by a
+    generator (explode), where the one-element-array trick defeats
+    per-struct evaluation. Contrast ``cosine``, where let-binding wins
+    because the bound arrays feed multiple fold consumers per row."""
     vd = _to_double(vec)
     bits = [
         F.when(
