@@ -1995,6 +1995,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["j_cache_refresh"] = cache_refresh_q
 
+    def _synth_url(spark, sf):
+        """Deterministic messy-URL column over documents (the testdata
+        text carries no URLs — same injection pattern as text_domains):
+        four shapes covering uppercase scheme/host, default and explicit
+        ports, fragments, unsorted query params, trailing slashes, and a
+        bare host with no path."""
+        d = _t(spark, sf, "documents")
+        m = F.col("doc_id") % 4
+        k = (F.col("doc_id") % 5).cast("string")
+        url = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit("HTTP://WWW"), k, F.lit(".Example.Com:80/a/b/?z=1&a=2#frag")
+                ),
+            )
+            .when(m == 1, F.concat(F.lit("https://Example"), k, F.lit(".com:443/x")))
+            .when(
+                m == 2,
+                F.concat(F.lit("https://cdn"), k, F.lit(".example.net:8443/y?b=1")),
+            )
+            .otherwise(F.concat(F.lit("http://example"), k, F.lit(".org")))
+        )
+        return d.select("doc_id", url.alias("url"))
+
+    def url_canonical_q(spark, sf):
+        u = _synth_url(spark, sf)
+        return u.select(
+            "doc_id", "url", textstats.url_canonicalize(F.col("url")).alias("url_canon")
+        )
+
+    q["url_canonical"] = url_canonical_q
+
+    def crawl_budget_q(spark, sf):
+        """Domain quota table: proportional budget share with a hard
+        per-domain cap, over the injected-domain counts."""
+        d = _t(spark, sf, "documents")
+        injected = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("see https://www"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org/p"),
+            ),
+            F.concat(
+                F.lit("http://cdn"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.net/x"),
+            ),
+        )
+        counts = (
+            d.select(F.explode(textstats.extract_domains(injected)).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return textstats.crawl_budget(counts, budget=10_000, cap=500)
+
+    q["crawl_budget"] = crawl_budget_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3220,6 +3280,54 @@ WHERE rn <= 5
         "SELECT event_type, n FROM new "
         "UNION ALL SELECT o.event_type, o.n FROM old o WHERE NOT EXISTS "
         "(SELECT 1 FROM new WHERE new.event_type = o.event_type)"
+    )
+
+    # URL canonicalization over the same injected messy-URL shapes the
+    # Spark query synthesizes; full canonicalizer replicated
+    _k = "CAST(doc_id % 5 AS VARCHAR)"
+    _url_case = (
+        f"CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW' || {_k} || "
+        "'.Example.Com:80/a/b/?z=1&a=2#frag' "
+        f"WHEN doc_id % 4 = 1 THEN 'https://Example' || {_k} || '.com:443/x' "
+        f"WHEN doc_id % 4 = 2 THEN 'https://cdn' || {_k} || "
+        "'.example.net:8443/y?b=1' "
+        f"ELSE 'http://example' || {_k} || '.org' END"
+    )
+    _scheme_re = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+    _hostport_re = "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)"
+    _rawpath_re = "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)"
+    o["url_canonical"] = (
+        "WITH u AS (SELECT doc_id, "
+        f"{_url_case} AS url "
+        "FROM documents), "
+        "nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') "
+        "AS nofrag FROM u), "
+        "parts AS (SELECT doc_id, url, "
+        f"lower(regexp_extract(nofrag, '{_scheme_re}', 1)) AS scheme, "
+        f"lower(regexp_extract(nofrag, '{_hostport_re}', 1)) AS hostport, "
+        f"regexp_extract(nofrag, '{_rawpath_re}', 1) AS rawpath, "
+        "regexp_extract(nofrag, '\\?([^#]*)', 1) AS query FROM nf), "
+        "canon AS (SELECT doc_id, url, scheme, "
+        "regexp_extract(hostport, '^([^:]+)', 1) AS host, "
+        "regexp_extract(hostport, ':([0-9]+)$', 1) AS port, "
+        "reverse(regexp_replace(reverse(rawpath), '^/+', '', 'g')) AS nt, "
+        "query, array_to_string(list_sort(string_split(query, '&')), '&') "
+        "AS qsorted FROM parts) "
+        "SELECT doc_id, url, scheme || '://' || host || "
+        "(CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR "
+        "(scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) || "
+        "(CASE WHEN nt = '' THEN '/' ELSE nt END) || "
+        "(CASE WHEN query = '' THEN '' ELSE '?' || qsorted END) "
+        "AS url_canon FROM canon"
+    )
+
+    o["crawl_budget"] = (
+        "WITH c AS (SELECT domain, count(*) AS n FROM (SELECT unnest("
+        f"regexp_extract_all({_url_inject}, '{textstats.URL_DOMAIN_RE}', 1)) "
+        "AS domain FROM documents) GROUP BY 1), "
+        "t AS (SELECT sum(n) AS _tot FROM c) "
+        "SELECT domain, n, CAST(least(CAST(500 AS BIGINT), "
+        "CAST(10000 AS BIGINT) * n // _tot) AS BIGINT) AS alloc FROM c, t"
     )
 
     return o

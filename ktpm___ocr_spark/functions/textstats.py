@@ -169,6 +169,68 @@ def extract_domains(text: Column | str) -> Column:
     return F.regexp_extract_all(_col(text), F.lit(URL_DOMAIN_RE), 1)
 
 
+def url_canonicalize(url: Column | str) -> Column:
+    """Canonical URL form for dedup/crawl-frontier keys: lowercase scheme
+    and host, default ports dropped (http:80 / https:443, others kept),
+    fragment stripped, empty path → '/', trailing slashes trimmed, query
+    parameters sorted. Pure column expressions (no backreference regex —
+    Spark `$1` and DuckDB `\\1` syntaxes diverge, so the trailing-slash
+    trim uses rtrim and the pieces are re-concatenated instead).
+
+    Two URLs that differ only in these cosmetic ways are the same crawl
+    target; canonicalization BEFORE hashing is what makes url-level exact
+    dedup actually deduplicate."""
+    u = _col(url)
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    rawpath = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    # trailing-slash trim without backreferences or rtrim(chars) (whose
+    # argument order differs between engines): reverse, strip the leading
+    # '/' run, reverse back; empty path restores to '/'
+    no_trail = F.reverse(F.regexp_replace(F.reverse(rawpath), "^/+", ""))
+    path = F.when(no_trail == "", F.lit("/")).otherwise(no_trail)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    querypart = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qsorted)
+    )
+    return F.concat(scheme, F.lit("://"), host, portpart, path, querypart)
+
+
+def crawl_budget(
+    domain_counts,
+    budget: int = 10_000,
+    cap: int = 500,
+    n_col: str = "n",
+):
+    """Per-domain crawl/sampling quota: proportional share of ``budget``
+    by observed document mass, hard-capped at ``cap`` per domain (the
+    anti-monoculture guard — no single host may dominate a training
+    corpus regardless of its crawl volume). Integer floor allocation
+    (bigint ``div`` — exactly portable); the un-redistributed remainder
+    is ≤ |domains|, negligible at corpus scale.
+
+    One 1-row total cross-joined in — no driver action, no shuffle beyond
+    the input aggregate."""
+    total = domain_counts.agg(F.sum(n_col).alias("_tot"))
+    return domain_counts.crossJoin(F.broadcast(total)).select(
+        *domain_counts.columns,
+        F.least(
+            F.lit(cap).cast("long"),
+            F.expr(f"CAST({budget} AS BIGINT) * {n_col} div _tot"),
+        ).alias("alloc"),
+    )
+
+
 def repetition_metrics(
     df, id_col: str = "doc_id", text_col: str = "text"
 ):

@@ -133,3 +133,18 @@ def test_binned_percentiles_aggregates_before_window(spark, sf01_dir):
     ), "window must consume the aggregated histogram, not raw rows"
     # and the NULL exclusion reaches the scan
     assert "PushedFilters: [IsNotNull(value)]" in plan, plan
+
+
+def test_bloom_bits_join_is_broadcast(spark, sf01_dir):
+    """The set-bit relation is bounded at 2^16 rows — the probe join must
+    broadcast it, never shuffle the probe side on pos."""
+    df = em.queries()["bloom_dedup_probe"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_containment_band_join_is_shuffle_not_cartesian(spark, sf01_dir):
+    df = em.queries()["dedup_containment_pairs"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

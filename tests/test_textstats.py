@@ -262,3 +262,37 @@ def test_weighted_sample_properties(spark):
         for r in weighted_sample(df.repartition(7), "grp", "id", "wt", k=10).collect()
     ]
     assert got == got2
+
+
+def test_url_canonicalize_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.textstats import url_canonicalize
+
+    cases = [
+        ("HTTP://WWW.Example.Com:80/a/b/?z=1&a=2#frag", "http://www.example.com/a/b?a=2&z=1"),
+        ("https://Example.com:443/x", "https://example.com/x"),
+        ("https://cdn.example.net:8443/y?b=1", "https://cdn.example.net:8443/y?b=1"),
+        ("http://example.org", "http://example.org/"),
+        ("http://example.org///", "http://example.org/"),
+        ("https://h.io/p#only-frag", "https://h.io/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(url_canonicalize(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_crawl_budget_caps_and_proportionality(spark):
+    from ktpm___ocr_spark.functions.textstats import crawl_budget
+
+    counts = spark.createDataFrame(
+        [("big.com", 9000), ("mid.com", 900), ("small.com", 100)],
+        "domain string, n long",
+    )
+    got = {r["domain"]: r["alloc"] for r in crawl_budget(counts, budget=1000, cap=300).collect()}
+    assert got["big.com"] == 300  # capped (proportional would be 900)
+    assert got["mid.com"] == 90
+    assert got["small.com"] == 10
