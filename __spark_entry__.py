@@ -2055,6 +2055,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_budget"] = crawl_budget_q
 
+    def token_windows_q(spark, sf):
+        """Sliding token windows (size 50, stride 25) — the long-document
+        training-sample split; zero-shuffle array HOFs."""
+        from ktpm___ocr_spark.functions.packing import token_windows
+
+        return token_windows(
+            _t(spark, sf, "documents"), size=50, stride=25
+        )
+
+    q["pack_token_windows"] = token_windows_q
+
+    def pack_samples_q(spark, sf):
+        """Sequence packing: per-language greedy bin assignment by
+        running token count at capacity 500 — exact bigint arithmetic,
+        bit-identical under any partitioning."""
+        from ktpm___ocr_spark.functions.packing import pack_samples
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            textstats.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        return pack_samples(d, capacity=500)
+
+    q["pack_samples_bins"] = pack_samples_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3328,6 +3354,31 @@ WHERE rn <= 5
         "t AS (SELECT sum(n) AS _tot FROM c) "
         "SELECT domain, n, CAST(least(CAST(500 AS BIGINT), "
         "CAST(10000 AS BIGINT) * n // _tot) AS BIGINT) AS alloc FROM c, t"
+    )
+
+    # sliding token windows: integer last-index arithmetic and 1-based
+    # inclusive list slicing mirror F.sequence/F.slice exactly
+    o["pack_token_windows"] = (
+        f"WITH w AS (SELECT doc_id, {_words} AS ws FROM documents), "
+        "x AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w "
+        "WHERE len(ws) > 0), "
+        "l AS (SELECT doc_id, ws, n, greatest((n - 50 + 25 - 1) // 25, 0) "
+        "AS last FROM x), "
+        "wins AS (SELECT doc_id, ws, n, unnest(generate_series(0, last)) "
+        "AS win_idx FROM l) "
+        "SELECT doc_id, win_idx, "
+        "array_to_string(ws[win_idx*25+1 : win_idx*25+50], ' ') AS window_text, "
+        "least(CAST(50 AS BIGINT), n - win_idx*25) AS n_tokens FROM wins"
+    )
+
+    o["pack_samples_bins"] = (
+        f"WITH d AS (SELECT doc_id, lang, CAST(len({_words}) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT lang, doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+        "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS cum FROM d) "
+        "SELECT lang, doc_id, n_tokens, CAST(cum // 500 AS BIGINT) "
+        "AS bin_id FROM c"
     )
 
     return o
