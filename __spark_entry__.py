@@ -2030,28 +2030,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def crawl_budget_q(spark, sf):
         """Domain quota table: proportional budget share with a hard
-        per-domain cap, over the injected-domain counts."""
-        d = _t(spark, sf, "documents")
-        injected = F.concat_ws(
-            " ",
-            F.col("text"),
-            F.concat(
-                F.lit("see https://www"),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit(".example.org/p"),
-            ),
-            F.concat(
-                F.lit("http://cdn"),
-                (F.col("doc_id") % 7).cast("string"),
-                F.lit(".example.net/x"),
-            ),
+        per-domain cap, over the SAME injected-domain counts as the
+        text_domains entry (one definition of the injection shape)."""
+        return textstats.crawl_budget(
+            q["text_domains"](spark, sf), budget=10_000, cap=500
         )
-        counts = (
-            d.select(F.explode(textstats.extract_domains(injected)).alias("domain"))
-            .groupBy("domain")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        return textstats.crawl_budget(counts, budget=10_000, cap=500)
 
     q["crawl_budget"] = crawl_budget_q
 
@@ -3352,8 +3335,9 @@ WHERE rn <= 5
         f"regexp_extract_all({_url_inject}, '{textstats.URL_DOMAIN_RE}', 1)) "
         "AS domain FROM documents) GROUP BY 1), "
         "t AS (SELECT sum(n) AS _tot FROM c) "
-        "SELECT domain, n, CAST(least(CAST(500 AS BIGINT), "
-        "CAST(10000 AS BIGINT) * n // _tot) AS BIGINT) AS alloc FROM c, t"
+        "SELECT domain, n, CAST(CASE WHEN _tot > 0 THEN "
+        "least(CAST(500 AS BIGINT), CAST(10000 AS BIGINT) * n // _tot) "
+        "ELSE 0 END AS BIGINT) AS alloc FROM c, t"
     )
 
     # sliding token windows: integer last-index arithmetic and 1-based

@@ -44,6 +44,12 @@ def token_windows(
     arithmetic ((n−size+stride−1) div stride) so both engines agree."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            "stride must not exceed size — tokens between windows would "
+            "be silently skipped, violating the every-token-covered "
+            "contract"
+        )
     base = (
         df.select(F.col(id_col), words_array(F.col(text_col)).alias("_ws"))
         .withColumn("_n", F.size("_ws").cast("long"))

@@ -203,7 +203,13 @@ def url_canonicalize(url: Column | str) -> Column:
     querypart = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), qsorted)
     )
-    return F.concat(scheme, F.lit("://"), host, portpart, path, querypart)
+    # scheme-less inputs (bare 'example.com/a' href text) fail every
+    # '://'-anchored extraction above — every such URL would collapse to
+    # the same ':///' key and distinct crawl targets would merge; pass
+    # them through unchanged instead
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, portpart, path, querypart)
+    )
 
 
 def crawl_budget(
@@ -222,12 +228,19 @@ def crawl_budget(
     One 1-row total cross-joined in — no driver action, no shuffle beyond
     the input aggregate."""
     total = domain_counts.agg(F.sum(n_col).alias("_tot"))
-    return domain_counts.crossJoin(F.broadcast(total)).select(
-        *domain_counts.columns,
+    # zero/NULL total guard: 'x div 0' is NULL and F.least SKIPS nulls, so
+    # without the when() every domain would receive the full cap from an
+    # all-zero count table instead of 0
+    share = F.when(
+        F.col("_tot") > 0,
         F.least(
             F.lit(cap).cast("long"),
             F.expr(f"CAST({budget} AS BIGINT) * {n_col} div _tot"),
-        ).alias("alloc"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return domain_counts.crossJoin(F.broadcast(total)).select(
+        *domain_counts.columns,
+        share.alias("alloc"),
     )
 
 

@@ -188,6 +188,13 @@ class CheckpointedRun:
             self._write_manifest(m)
         todo = [b for b in range(self.n_buckets) if b not in self.committed()]
         if not todo:
+            # all buckets committed: restore 'complete' — a cancel that
+            # raced the FINAL bucket's commit leaves a full manifest
+            # marked cancelled, which this (the retry) resolves
+            m = self._read_manifest()
+            if m["status"] != "complete":
+                m["status"] = "complete"
+                self._write_manifest(m)
             return done
         src = (
             source.withColumn("_bucket", self.bucket_col())

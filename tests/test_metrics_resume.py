@@ -191,3 +191,18 @@ def test_incremental_run_crash_recovery_no_duplicates(spark, tmp_path):
     assert run.processed() == set()
     run.run(str(src), ident)
     assert run.result().count() == 10  # no duplicated rows
+
+
+def test_cancel_racing_final_commit_resolves_to_complete(spark, docs, tmp_path_factory):
+    """A cancel that lands after the loop's check but before the final
+    bucket's commit leaves a FULL manifest marked cancelled; the retry
+    must restore 'complete' (otherwise status-polling callers hang)."""
+    out = str(tmp_path_factory.mktemp("ckpt_race"))
+    run = CheckpointedRun(spark, out, n_buckets=4)
+    run.run(docs, extract_narrow)
+    # simulate the race: full manifest, then a late cancel marker
+    run.cancel(reason="raced the last commit")
+    assert run.status() == "cancelled" and len(run.committed()) == 4
+    retry = CheckpointedRun(spark, out, n_buckets=4)
+    assert retry.run(docs, extract_narrow) == []  # nothing to do
+    assert retry.status() == "complete"

@@ -54,3 +54,10 @@ def test_pack_bins_bounded_and_partition_invariant(spark):
             assert v + max_sample >= 300
     got2 = pack_samples(df.repartition(17), capacity=300).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_stride_larger_than_size_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="stride must not exceed size"):
+        token_windows(_doc(spark, "a b c"), size=10, stride=20)

@@ -296,3 +296,28 @@ def test_crawl_budget_caps_and_proportionality(spark):
     assert got["big.com"] == 300  # capped (proportional would be 900)
     assert got["mid.com"] == 90
     assert got["small.com"] == 10
+
+
+def test_url_canonicalize_schemeless_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.textstats import url_canonicalize
+
+    df = spark.createDataFrame(
+        [("example.com/a",), ("other.org/b",)], "url string"
+    )
+    got = [
+        r["c"] for r in df.select(url_canonicalize(F.col("url")).alias("c")).collect()
+    ]
+    # distinct scheme-less inputs must NOT collapse to one key
+    assert got == ["example.com/a", "other.org/b"]
+
+
+def test_crawl_budget_zero_total_allocates_zero(spark):
+    from ktpm___ocr_spark.functions.textstats import crawl_budget
+
+    counts = spark.createDataFrame(
+        [("a.com", 0), ("b.com", 0)], "domain string, n long"
+    )
+    got = {r["domain"]: r["alloc"] for r in crawl_budget(counts, budget=100, cap=50).collect()}
+    assert got == {"a.com": 0, "b.com": 0}
