@@ -108,3 +108,14 @@ def test_all_queries_run_at_smallest_sf(spark):
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append((name, str(ex)[:120]))
     assert not failures, failures
+
+
+def test_driver_window_invariants():
+    """The driver samples the first 50 queries() entries in insertion
+    order; the rotation list must stay exactly 50 unique registered
+    names, and the registry head must equal it."""
+    win = entrymod._DRIVER_WINDOW
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    assert set(win) <= set(QUERIES)
+    assert list(QUERIES)[:50] == win
