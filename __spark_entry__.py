@@ -2064,6 +2064,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_samples_bins"] = pack_samples_q
 
+    def anchor_links_q(spark, sf):
+        """(doc_id, href, anchor) link extraction over the span synthesis
+        (which injects anchors on every 7th≡3 chunk) — the web-corpus op
+        that feeds link graphs (PageRank edges) and anchor-text data."""
+        sp = _docs_spans_df(spark, sf)
+        spans = sp.select("doc_id", F.explode("spans").alias("s")).filter(
+            F.col("s.kind") == "text"
+        )
+        pairs = spans.select(
+            "doc_id",
+            F.explode(textstats.anchor_pairs(F.col("s.text"))).alias("p"),
+        )
+        return pairs.select(
+            "doc_id",
+            F.col("p.href").alias("href"),
+            F.col("p.anchor").alias("anchor"),
+        )
+
+    q["extract_anchor_links"] = anchor_links_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3353,6 +3373,18 @@ WHERE rn <= 5
         "SELECT doc_id, win_idx, "
         "array_to_string(ws[win_idx*25+1 : win_idx*25+50], ' ') AS window_text, "
         "least(CAST(50 AS BIGINT), n - win_idx*25) AS n_tokens FROM wins"
+    )
+
+    o["extract_anchor_links"] = (
+        "WITH " + _DOCS_SPANS_CTES + ", "
+        "tx AS (SELECT doc_id, unnest(spans) AS s FROM sp), "
+        "t2 AS (SELECT doc_id, s.tx AS txt FROM tx WHERE s.k = 'text'), "
+        "pr AS (SELECT doc_id, list_zip("
+        "regexp_extract_all(txt, '<a href=\"([^\"]*)\"[^>]*>', 1), "
+        "regexp_extract_all(txt, '<a href=\"[^\"]*\"[^>]*>(.*?)</a>', 1)) "
+        "AS ps FROM t2) "
+        "SELECT doc_id, p[1] AS href, p[2] AS anchor FROM "
+        "(SELECT doc_id, unnest(ps) AS p FROM pr)"
     )
 
     o["pack_samples_bins"] = (

@@ -169,6 +169,25 @@ def extract_domains(text: Column | str) -> Column:
     return F.regexp_extract_all(_col(text), F.lit(URL_DOMAIN_RE), 1)
 
 
+ANCHOR_HREF_RE = r'<a href="([^"]*)"[^>]*>'
+ANCHOR_TEXT_RE = r'<a href="[^"]*"[^>]*>(.*?)</a>'
+
+
+def anchor_pairs(text: Column | str) -> Column:
+    """Array of struct(href, anchor) — the (link target, anchor text)
+    pairs a web-corpus pipeline mines for link graphs (PageRank edges)
+    and anchor-text training data.
+
+    Two aligned single-group extractions zipped positionally (both Spark
+    and DuckDB regexp_extract_all return ONE capture group per call, so
+    a two-group extraction is spelled as two passes over the same
+    pattern skeleton); on well-formed markup the lists align 1:1."""
+    t = _col(text)
+    hrefs = F.regexp_extract_all(t, F.lit(ANCHOR_HREF_RE), 1)
+    anchors = F.regexp_extract_all(t, F.lit(ANCHOR_TEXT_RE), 1)
+    return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+
+
 def url_canonicalize(url: Column | str) -> Column:
     """Canonical URL form for dedup/crawl-frontier keys: lowercase scheme
     and host, default ports dropped (http:80 / https:443, others kept),

@@ -321,3 +321,19 @@ def test_crawl_budget_zero_total_allocates_zero(spark):
     )
     got = {r["domain"]: r["alloc"] for r in crawl_budget(counts, budget=100, cap=50).collect()}
     assert got == {"a.com": 0, "b.com": 0}
+
+
+def test_anchor_pairs_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.textstats import anchor_pairs
+
+    df = spark.createDataFrame(
+        [('pre <a href="/x">hello</a> mid <a href="/y" rel="nofollow">world w2</a> post',)],
+        "text string",
+    )
+    got = df.select(anchor_pairs(F.col("text")).alias("p")).collect()[0]["p"]
+    assert [(r["href"], r["anchor"]) for r in got] == [
+        ("/x", "hello"),
+        ("/y", "world w2"),
+    ]
