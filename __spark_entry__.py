@@ -2084,6 +2084,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_anchor_links"] = anchor_links_q
 
+    def vocab_prune_q(spark, sf):
+        """Min-count vocabulary pruning decision table (kept/dropped
+        terms and mass + OOV rate at cutoff 5)."""
+        return textstats.vocab_prune_stats(
+            _t(spark, sf, "documents"), min_count=5
+        )
+
+    q["vocab_prune_stats"] = vocab_prune_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3385,6 +3394,19 @@ WHERE rn <= 5
         "AS ps FROM t2) "
         "SELECT doc_id, p[1] AS href, p[2] AS anchor FROM "
         "(SELECT doc_id, unnest(ps) AS p FROM pr)"
+    )
+
+    o["vocab_prune_stats"] = (
+        f"WITH c AS (SELECT term, count(*) AS n FROM (SELECT unnest({_words}) "
+        "AS term FROM documents) GROUP BY 1), "
+        "agg AS (SELECT CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS kept_terms, CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS dropped_terms, CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS "
+        "BIGINT) AS kept_mass, CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS "
+        "BIGINT) AS dropped_mass FROM c) "
+        "SELECT kept_terms, dropped_terms, kept_mass, dropped_mass, "
+        "round(CAST(dropped_mass AS DOUBLE) / (kept_mass + dropped_mass), 6) "
+        "AS oov_rate FROM agg"
     )
 
     o["pack_samples_bins"] = (

@@ -471,6 +471,42 @@ def deterministic_split(
     )
 
 
+def vocab_prune_stats(
+    df, text_col: str = "text", min_count: int = 5
+):
+    """Vocabulary pruning accounting: one row
+    (kept_terms, dropped_terms, kept_mass, dropped_mass, oov_rate) for a
+    min-count cutoff — the tokenizer-prep decision table ("what OOV rate
+    does this cutoff buy"). oov_rate = dropped occurrence mass / total
+    mass, rounded 6 dp (IEEE division of exact bigints — portable).
+
+    Shape: explode → one (term) hash aggregate (map-side combinable,
+    |vocab| shuffle) → one global fold over vocab-sized input. Nothing
+    downstream of the first aggregate scales with the corpus."""
+    counts = (
+        df.select(F.explode(words_array(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kept = F.col("n") >= min_count
+    return counts.agg(
+        F.sum(F.when(kept, 1).otherwise(0)).alias("kept_terms"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("dropped_terms"),
+        F.sum(F.when(kept, F.col("n")).otherwise(0)).alias("kept_mass"),
+        F.sum(F.when(~kept, F.col("n")).otherwise(0)).alias("dropped_mass"),
+    ).select(
+        "kept_terms",
+        "dropped_terms",
+        "kept_mass",
+        "dropped_mass",
+        F.round(
+            F.col("dropped_mass")
+            / (F.col("kept_mass") + F.col("dropped_mass")),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def tfidf_top_terms(
     df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ):
