@@ -185,3 +185,44 @@ def render_documents(
             )
 
     return df.mapInPandas(process, schema=RENDER_SCHEMA)
+
+
+DOCX_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("document_xml", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+
+def docx_document_xml(df: DataFrame) -> DataFrame:
+    """Round-trip verification half of the S5 sink: unzip each rendered
+    DOCX container (``output`` binary) and surface its WordprocessingML
+    payload ``word/document.xml`` as a string column.
+
+    This is what makes the S5 driver check *real*: the container bytes
+    themselves (zip CRC/deflate framing) are not SQL-expressible, but the
+    XML part inside them is — an independent SQL reconstruction of
+    title+paragraphs (docxFilter.js:44-48 semantics) must hash-equal what
+    actually comes back out of the zip the renderer wrote."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            xmls = []
+            for buf in pdf["output"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(buf))) as z:
+                    xmls.append(z.read("word/document.xml").decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "document_xml": xmls,
+                    "mime": pdf["mime"],
+                    "filename": pdf["filename"],
+                }
+            )
+
+    return df.mapInPandas(process, schema=DOCX_XML_SCHEMA)

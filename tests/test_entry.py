@@ -38,7 +38,11 @@ def _norm(v):
             return "NaN"
         return v
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Keep tzinfo: a tz-aware oracle value (DuckDB TIMESTAMPTZ) vs a
+        # naive Spark TimestampType is EXACTLY the divergence the real
+        # driver red-flags (r3: s7_history_items) — stripping it here made
+        # the local gate blind to it.
+        return v.isoformat()
     if isinstance(v, Decimal := __import__("decimal").Decimal):
         return float(v)
     return v
@@ -57,6 +61,15 @@ ORACLES = entrymod.oracle_sql()
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
+
+
+def test_no_query_without_oracle():
+    """Registration invariant (r3 verdict item 4): the driver does NOT
+    accept rows-only entries — every queries() entry MUST ship an
+    oracle_sql() twin, or stay pytest-only.  This makes the `no_oracle`
+    red-row class structurally extinct."""
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries without oracles (driver-red by construction): {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
