@@ -71,7 +71,13 @@ def cm_estimate(
     """Point-estimate counts for a candidate key relation: for each key,
     min over sketch rows of the counter it hashes to (the classic CM
     upper bound: est ≥ true, est ≤ true + εN w.h.p.). The sketch is tiny
-    (depth·width rows) — broadcast side of the equi-join."""
+    (depth·width rows) — broadcast side of the equi-join.
+
+    The join is LEFT with a coalesce-to-0: an absent (row, col) cell in
+    the sparse sketch relation means its counter is 0, so a key the
+    stream never saw estimates 0 (one output row per probed key, always)
+    — an inner join would instead min over only the populated cells and
+    overestimate, or drop the key entirely."""
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -87,9 +93,9 @@ def cm_estimate(
         ).alias("p"),
     ).select(key_col, "p.row", "p.col")
     return (
-        probes.join(F.broadcast(sketch), ["row", "col"])
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )
 
 

@@ -169,8 +169,9 @@ def extract_domains(text: Column | str) -> Column:
     return F.regexp_extract_all(_col(text), F.lit(URL_DOMAIN_RE), 1)
 
 
+ANCHOR_ELEM_RE = r'(?s)<a href="[^"]*"[^>]*>.*?</a>'
 ANCHOR_HREF_RE = r'<a href="([^"]*)"[^>]*>'
-ANCHOR_TEXT_RE = r'<a href="[^"]*"[^>]*>(.*?)</a>'
+ANCHOR_BODY_RE = r'(?s)^<a href="[^"]*"[^>]*>(.*)</a>$'
 
 
 def anchor_pairs(text: Column | str) -> Column:
@@ -178,14 +179,21 @@ def anchor_pairs(text: Column | str) -> Column:
     pairs a web-corpus pipeline mines for link graphs (PageRank edges)
     and anchor-text training data.
 
-    Two aligned single-group extractions zipped positionally (both Spark
-    and DuckDB regexp_extract_all return ONE capture group per call, so
-    a two-group extraction is spelled as two passes over the same
-    pattern skeleton); on well-formed markup the lists align 1:1."""
+    Whole ``<a ...>...</a>`` elements are extracted first, then href and
+    body are pulled from each element — so an unclosed tag (or any other
+    malformed anchor) drops only itself, instead of desynchronizing two
+    positionally-zipped href/text lists for every subsequent link in the
+    document. ``(?s)`` lets anchor text span newlines; both patterns are
+    Java-regex/RE2 portable (same lazy-leftmost semantics)."""
     t = _col(text)
-    hrefs = F.regexp_extract_all(t, F.lit(ANCHOR_HREF_RE), 1)
-    anchors = F.regexp_extract_all(t, F.lit(ANCHOR_TEXT_RE), 1)
-    return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+    elems = F.regexp_extract_all(t, F.lit(ANCHOR_ELEM_RE), 0)
+    return F.transform(
+        elems,
+        lambda e: F.struct(
+            F.regexp_extract(e, ANCHOR_HREF_RE, 1).alias("href"),
+            F.regexp_extract(e, ANCHOR_BODY_RE, 1).alias("anchor"),
+        ),
+    )
 
 
 def url_canonicalize(url: Column | str) -> Column:
@@ -198,12 +206,21 @@ def url_canonicalize(url: Column | str) -> Column:
 
     Two URLs that differ only in these cosmetic ways are the same crawl
     target; canonicalization BEFORE hashing is what makes url-level exact
-    dedup actually deduplicate."""
+    dedup actually deduplicate.
+
+    Userinfo (``user:pass@host``) is stripped — credentials never belong
+    in a crawl-frontier key — and bracketed IPv6 hosts (``[::1]:8080``)
+    keep their brackets so the port split stays unambiguous. A bare
+    unbracketed IPv6 authority is not a valid URL form and is out of
+    scope."""
     u = _col(url)
     nofrag = F.regexp_replace(u, "#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1))
-    host = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    authority = F.lower(
+        F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    hostport = F.regexp_replace(authority, "^[^@]*@", "")
+    host = F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]+)", 1)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")

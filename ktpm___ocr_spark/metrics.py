@@ -19,12 +19,18 @@ restarts. The engine's equivalents:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
+
+try:  # POSIX-only; manifest mutations fall back to single-writer mode
+    import fcntl
+except ImportError:  # pragma: no cover — non-POSIX platform
+    fcntl = None
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -92,6 +98,25 @@ class CheckpointedRun:
     def manifest_path(self) -> str:
         return os.path.join(self.out_dir, "_manifest.json")
 
+    @contextlib.contextmanager
+    def _manifest_lock(self):
+        """Serialize manifest read-modify-write cycles (cancel() racing a
+        concurrent run()'s _commit from another thread/process would
+        otherwise lose one side's update between the read and the
+        os.replace). flock on a sidecar lockfile — advisory, same-host;
+        on non-POSIX platforms this degrades to the documented
+        single-writer assumption (one mutator at a time)."""
+        if fcntl is None:  # pragma: no cover — non-POSIX platform
+            yield
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(self.manifest_path + ".lock", "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     def _read_manifest(self) -> dict:
         if not os.path.exists(self.manifest_path):
             return {"entries": [], "status": "running"}
@@ -123,32 +148,35 @@ class CheckpointedRun:
         """Mark the run cancelled (no bucket data is touched). Committed
         buckets remain committed, so a later ``run()`` resumes identically
         to a crash-resume."""
-        m = self._read_manifest()
-        m["status"] = "cancelled"
-        m["cancelled_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        if reason:
-            m["cancel_reason"] = reason
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self._read_manifest()
+            m["status"] = "cancelled"
+            m["cancelled_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            if reason:
+                m["cancel_reason"] = reason
+            self._write_manifest(m)
 
     def _commit(self, bucket: int, rows: int, n_bytes: int = 0) -> None:
-        m = self._read_manifest()
-        m["entries"].append(
-            {
-                "bucket": bucket,
-                "rows": rows,
-                "bytes": n_bytes,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "snapshot_id": uuid.uuid4().hex,
-            }
-        )
-        # a cancel() issued while this run is in flight must survive the
-        # commit (the completed bucket still records — cancel keeps work);
-        # the run loop observes it and stops before the next bucket
-        if m["status"] != "cancelled":
-            m["status"] = (
-                "complete" if len(m["entries"]) >= self.n_buckets else "running"
+        with self._manifest_lock():
+            m = self._read_manifest()
+            m["entries"].append(
+                {
+                    "bucket": bucket,
+                    "rows": rows,
+                    "bytes": n_bytes,
+                    "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "snapshot_id": uuid.uuid4().hex,
+                }
             )
-        self._write_manifest(m)
+            # a cancel() issued while this run is in flight must survive the
+            # commit (the completed bucket still records — cancel keeps
+            # work); the run loop observes it and stops before the next
+            # bucket
+            if m["status"] != "cancelled":
+                m["status"] = (
+                    "complete" if len(m["entries"]) >= self.n_buckets else "running"
+                )
+            self._write_manifest(m)
 
     def bucket_col(self):
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))

@@ -57,6 +57,18 @@ def test_cm_exact_when_width_dwarfs_cardinality(spark):
     assert est == {"a": 5, "b": 3, "c": 2}  # no collisions at this width
 
 
+def test_cm_estimate_unseen_key_is_zero(spark):
+    """A key the stream never saw must come back as ONE row with est 0:
+    its counter cells are absent from the sparse sketch relation (= 0),
+    and the est>=true contract with true=0 demands est=0 when no cell
+    collides — not a dropped key, not a min over populated cells only."""
+    data = spark.createDataFrame([(w,) for w in ["a"] * 5], "term string")
+    sk = cm_sketch(data, F.col("term"), depth=4, width=4096)
+    keys = spark.createDataFrame([("a",), ("never-seen",)], "term string")
+    est = {r["term"]: r["cm_est"] for r in cm_estimate(sk, keys, "term", 4, 4096).collect()}
+    assert est == {"a": 5, "never-seen": 0}
+
+
 # ---------------- pagerank ----------------
 
 

@@ -206,3 +206,35 @@ def test_cancel_racing_final_commit_resolves_to_complete(spark, docs, tmp_path_f
     retry = CheckpointedRun(spark, out, n_buckets=4)
     assert retry.run(docs, extract_narrow) == []  # nothing to do
     assert retry.status() == "complete"
+
+
+def test_manifest_mutations_are_thread_safe(spark, tmp_path_factory):
+    """Concurrent _commit hammering from many threads plus a mid-flight
+    cancel from another thread: with flock-serialized read-modify-write no
+    commit entry is lost and the cancel marker survives. (Before the lock,
+    a mutation landing between another mutator's read and its os.replace
+    was silently overwritten.)"""
+    import threading
+
+    out = str(tmp_path_factory.mktemp("ckpt_lock"))
+    run = CheckpointedRun(spark, out, n_buckets=64)
+    barrier = threading.Barrier(9)
+
+    def commit_some(base):
+        barrier.wait()
+        for b in range(base, base + 8):
+            run._commit(b, rows=1)
+
+    def cancel_late():
+        barrier.wait()
+        run.cancel(reason="mid-flight")
+
+    threads = [threading.Thread(target=commit_some, args=(i * 8,)) for i in range(8)]
+    threads.append(threading.Thread(target=cancel_late))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    m = run._read_manifest()
+    assert len(m["entries"]) == 64, "lost commit entries under concurrency"
+    assert m["status"] == "cancelled", "cancel marker overwritten by a commit"
