@@ -125,3 +125,105 @@ def heavy_hitter_words(
         .select("term", "true_cnt", "cm_est")
         .orderBy(F.desc("true_cnt"), F.asc("term"))
     )
+
+
+# ---------------- Misra–Gries (deterministic complement) ----------------
+#
+# Count-min answers "how frequent is this key?" with a probabilistic
+# overestimate; Misra–Gries (Misra & Gries 1982, "Finding repeated
+# elements") answers "which keys are frequent?" with a DETERMINISTIC
+# guarantee: an m-counter summary over a stream of n items reports every
+# key with true count > n/(m+1), and each reported counter is within
+# [true − n/(m+1), true]. Summaries are mergeable with the same additive
+# error bound (Agarwal et al. 2012, "Mergeable summaries"), which is what
+# makes the operator distributed: per-partition streaming folds (bounded
+# state: m counters per task, any arrival order), one tiny merge, then an
+# exact recount of the ≤m surviving candidates.
+
+MG_CAPACITY = 256
+
+
+def mg_partition_summaries(
+    terms: DataFrame, term_col: str = "term", m: int = MG_CAPACITY
+) -> DataFrame:
+    """Per-input-partition Misra–Gries fold → (term, cnt) rows, ≤ m per
+    partition. mapInPandas streams Arrow batches through a dict of at
+    most m counters — state is O(m) no matter how large the partition,
+    and no ordering is assumed (the guarantee is order-free)."""
+
+    def fold(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[term_col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < m:
+                    counters[t] = 1
+                else:
+                    # decrement-all: O(m) per trigger, ≤ n/m triggers → O(n)
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters), "cnt": list(counters.values())}
+            )
+
+    return terms.mapInPandas(fold, schema="term string, cnt long")
+
+
+def mg_merge(summaries: DataFrame, m: int = MG_CAPACITY) -> DataFrame:
+    """Merge per-partition summaries back to capacity m: sum counters per
+    term, subtract the (m+1)-th largest combined counter from all, keep
+    the positive remainder (the Agarwal et al. merge — re-capping costs
+    one more additive n/(m+1) error term). The summed relation is at most
+    m · #partitions rows — tiny; offset is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    combined = summaries.groupBy("term").agg(F.sum("cnt").alias("cnt"))
+    # (m+1)-th largest combined counter (0 when ≤ m terms survive); the
+    # summary relation is tiny, so the single-partition window is fine
+    ranked = combined.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+    )
+    off = ranked.select(
+        F.coalesce(F.max(F.when(F.col("rk") == m + 1, F.col("cnt"))), F.lit(0)).alias(
+            "_off"
+        )
+    )
+    return (
+        combined.crossJoin(F.broadcast(off))
+        .select("term", (F.col("cnt") - F.col("_off")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def mg_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    m: int = MG_CAPACITY,
+) -> DataFrame:
+    """Two-pass deterministic heavy hitters: MG candidates (bounded state
+    everywhere), then an EXACT recount of the ≤m survivors via a
+    broadcast semi-join, then top-n by (count desc, term asc).
+
+    The final output is exactly the true top-n whenever the n-th true
+    count exceeds the summary's additive error (≈ 2n_items/(m+1) after
+    one merge) — the margin the tests assert on zipf-ish text. That makes
+    the whole operator oracle-checkable by a plain exact top-n SQL while
+    every distributed piece stays bounded-state."""
+    terms = docs.select(F.explode(words_array(F.col(text_col))).alias("term"))
+    candidates = mg_merge(mg_partition_summaries(terms, "term", m), m)
+    exact = (
+        terms.join(F.broadcast(candidates.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.orderBy(F.desc("n"), F.asc("term")).limit(top_n)

@@ -2,8 +2,9 @@
 
 ``approx_count_distinct`` (HyperLogLog++) is the right tool at 100 TB,
 but its register values are engine-internal — no cross-engine oracle can
-check it (the repo's ``approx_distinct_users`` is rows-only for exactly
-that reason). This module implements classic HLL from first principles
+check it (which is why it is not in the driver registry at all; the
+driver accepts no rows-only entries). This module implements classic HLL
+from first principles
 over the repo's portable sha256-prefix hash, so the *same* registers —
 and therefore the same estimate, bit for bit — are computable in any
 engine with sha256 and integer bit ops. The sketch itself is the right
@@ -102,3 +103,97 @@ def weighted_sample(
         .filter(F.col("rk") <= k)
         .select(group_col, id_col, F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------- log-linear (HDR-style) quantile histogram ----------------
+#
+# Mergeable quantiles without order statistics: bucket each value into a
+# log-linear cell — power-of-two bucket (bit length) × 2^HDR_SUBBITS
+# linear sub-buckets — and count per cell (the HdrHistogram layout,
+# Tene, https://github.com/HdrHistogram; same family as DDSketch's
+# relative-error buckets). Cells are summed per key, so summaries merge
+# by plain addition (map-side combinable; state ≤ 64·2^SUBBITS cells no
+# matter how many values), and a quantile estimate is the lower bound of
+# the cell where the cumulative count crosses the target rank —
+# relative error ≤ 2^-SUBBITS by construction.
+#
+# Portability: the value enters as floor(value·unit) (IEEE-exact), the
+# bucket is the bit LENGTH of that integer (length(bin(x)) — the same
+# exact-integer trick as hll rho; no float log2 whose 1-ulp wobble could
+# flip a boundary), and target ranks are computed with integer
+# ceiling-division from rational q — so Spark and any SQL oracle agree
+# bit for bit.
+
+HDR_SUBBITS = 4  # 16 linear sub-buckets per power-of-two bucket
+
+
+def hdr_cells(df: DataFrame, value_col: str, unit: int = 100) -> DataFrame:
+    """Histogram cells (bl, sub, lb, cnt) for ``floor(value·unit)``.
+    ``lb`` is the cell's inclusive integer lower bound (in 1/unit units);
+    negative values clamp into the zero cell (documented out of band for
+    latency/size-style metrics, which are non-negative)."""
+    b = HDR_SUBBITS + 1
+    cells = df.select(
+        F.greatest(
+            F.floor(F.col(value_col) * unit).cast("long"), F.lit(0).cast("long")
+        ).alias("iv")
+    ).select(
+        "iv",
+        F.when(F.col("iv") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("iv"))))
+        .cast("long")
+        .alias("bl"),
+    ).select(
+        "iv",
+        "bl",
+        # 2^(bl-b) fits double exactly (bl ≤ 64 never reached in practice;
+        # guarded anyway: pow is exact for 2^k, k ≤ 52 — values at
+        # unit=100 keep bl well under that)
+        F.when(F.col("bl") <= b, F.lit(1).cast("long"))
+        .otherwise(F.pow(F.lit(2.0), (F.col("bl") - b).cast("double")).cast("long"))
+        .alias("p"),
+    ).select(
+        "bl",
+        F.expr("iv div p").alias("sub"),
+        (F.expr("iv div p") * F.col("p")).alias("lb"),
+    )
+    return cells.groupBy("bl", "sub", "lb").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[tuple[str, int, int], ...] = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+    unit: int = 100,
+) -> DataFrame:
+    """Quantile estimates from the cell histogram: for each (label, num,
+    den) the target rank is ceil(n·num/den) in exact integer arithmetic,
+    and the estimate is the lower bound of the first cell (in lb order)
+    whose cumulative count reaches it. Output (label, target_rank,
+    est_centi) — all bigint, hash-stable across engines.
+
+    The cell relation is ≤ a few hundred rows, so the single-partition
+    cumulative window is free; everything upstream is one map-combinable
+    aggregate over the data."""
+    from pyspark.sql.window import Window
+
+    cells = hdr_cells(df, value_col, unit)
+    cum = cells.select(
+        "lb",
+        F.sum("cnt").over(Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    n = cells.agg(F.sum("cnt").alias("_n"))
+    targets = None
+    for label, num, den in qs:
+        t = n.select(
+            F.lit(label).alias("label"),
+            F.expr(f"(_n * {num} + {den} - 1) div {den}").alias("target_rank"),
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    # first cell whose cumulative count reaches the target rank
+    hit = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("label", "target_rank")
+        .agg(F.min("lb").alias("est_centi"))
+    )
+    return hit.select("label", "target_rank", "est_centi")

@@ -1,0 +1,169 @@
+"""Round-4 breadth operators: fixed-point k-means, Misra–Gries top-k,
+HDR-style mergeable quantile histogram."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions.heavyhitters import (
+    mg_merge,
+    mg_partition_summaries,
+    mg_top_terms,
+)
+from ktpm___ocr_spark.functions.sketches import hdr_cells, hdr_quantiles
+from ktpm___ocr_spark.functions.textstats import words_array
+from ktpm___ocr_spark.operators.kmeans import kmeans_fp, kmeans_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001_dir):
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf001_dir):
+    df = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+# ---------------- fixed-point k-means ----------------
+
+
+def test_kmeans_partitions_all_vectors(spark, emb):
+    centroids, assignment = kmeans_fp(emb, k=8, iters=3)
+    assert centroids.count() == 8
+    assert assignment.count() == emb.count()
+    # every vector lands in exactly one cluster, ids 0..7
+    cids = {r["cluster_id"] for r in assignment.select("cluster_id").distinct().collect()}
+    assert cids <= set(range(8))
+
+
+def test_kmeans_is_partitioning_invariant(spark, emb):
+    """Fixed-point arithmetic end to end ⇒ bit-identical centroids no
+    matter how the input is partitioned (the property float Lloyd loses:
+    float sums reorder under different partitionings)."""
+    a = sorted(tuple(r) for r in kmeans_profile(emb, k=4, iters=2).collect())
+    b = sorted(
+        tuple(r) for r in kmeans_profile(emb.repartition(13), k=4, iters=2).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_iterations_reduce_distortion(spark, emb):
+    """More Lloyd rounds must not increase total distortion (floor-mean
+    centroids are within 1/scale of the true mean, so monotonicity holds
+    at the granularity the test checks)."""
+    from ktpm___ocr_spark.operators.kmeans import _int_sqdist, quantize_vec
+
+    def distortion(iters):
+        centroids, assignment = kmeans_fp(emb, k=8, iters=iters)
+        vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("_q"))
+        joined = vecs.join(assignment, "vec_id").join(centroids, "cluster_id")
+        return joined.agg(
+            F.sum(_int_sqdist(F.col("_q"), F.col("centroid"))).alias("d")
+        ).first()["d"]
+
+    assert distortion(3) <= distortion(1)
+
+
+def test_kmeans_profile_shape(spark, emb):
+    prof = kmeans_profile(emb, k=8, iters=3)
+    rows = prof.collect()
+    assert len(rows) == 8
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    dim = len(emb.first()["embedding"])
+    for r in rows:
+        assert len(r["centroid_canon"].split(",")) == dim
+
+
+# ---------------- Misra–Gries ----------------
+
+
+def test_mg_summary_state_is_bounded(spark, docs):
+    terms = docs.select(F.explode(words_array(F.col("text"))).alias("term"))
+    summ = mg_partition_summaries(terms.repartition(8), m=64)
+    per_part = summ.groupBy(F.spark_partition_id().alias("p")).count()
+    # ≤ m candidate rows per partition regardless of stream size
+    assert summ.count() <= 8 * 64
+    merged = mg_merge(summ, m=64)
+    assert merged.count() <= 64
+
+
+def test_mg_top_terms_equals_exact_topk(spark, docs):
+    """The two-pass MG (bounded-state candidates + exact recount) must
+    equal the plain exact top-k whenever the margin holds — and the
+    margin must hold on this corpus (asserted, not assumed)."""
+    terms = docs.select(F.explode(words_array(F.col("text"))).alias("term"))
+    n_items = terms.count()
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+        .collect()
+    )
+    # margin: every true top-20 count must exceed the merged summary's
+    # worst-case additive error 2·n/(m+1), else MG could evict it
+    assert exact[-1]["n"] > 2 * n_items / (256 + 1)
+    got = mg_top_terms(docs, top_n=20, m=256).collect()
+    assert [(r["term"], r["n"]) for r in got] == [
+        (r["term"], r["n"]) for r in exact
+    ]
+
+
+def test_mg_is_partitioning_invariant_after_recount(spark, docs):
+    """Candidate SETS are partitioning-dependent (that's inherent to MG);
+    the final recounted top-k must not be."""
+    a = [tuple(r) for r in mg_top_terms(docs, top_n=10).collect()]
+    b = [tuple(r) for r in mg_top_terms(docs.repartition(17), top_n=10).collect()]
+    assert a == b
+
+
+# ---------------- HDR quantile histogram ----------------
+
+
+def test_hdr_cells_merge_by_addition(spark):
+    vals = spark.range(1, 2001).select((F.col("id") * 0.37).alias("v"))
+    whole = {
+        (r["bl"], r["sub"]): r["cnt"] for r in hdr_cells(vals, "v").collect()
+    }
+    h1 = hdr_cells(vals.filter(F.col("v") < 300), "v")
+    h2 = hdr_cells(vals.filter(F.col("v") >= 300), "v")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("bl", "sub", "lb")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["bl"], r["sub"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_hdr_quantiles_bounded_relative_error(spark, sf001_dir):
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet")
+    got = {r["label"]: r["est_centi"] for r in hdr_quantiles(ev, "value").collect()}
+    exact = ev.selectExpr(
+        "percentile(value, 0.5) AS p50",
+        "percentile(value, 0.9) AS p90",
+        "percentile(value, 0.99) AS p99",
+    ).first()
+    assert got["p50"] <= got["p90"] <= got["p99"]
+    for label in ("p50", "p90", "p99"):
+        est = got[label] / 100.0
+        true = exact[label]
+        # cell lower bound: est ≤ true side of the cell, within one
+        # sub-bucket of relative error (2^-4) plus the centi resolution
+        assert est <= true + 0.01
+        assert est >= true * (1 - 2 ** -4) - 0.02, (label, est, true)
+
+
+def test_hdr_zero_and_negative_clamp(spark):
+    vals = spark.createDataFrame([(-3.0,), (0.0,), (0.004,)], "v double")
+    cells = hdr_cells(vals, "v").collect()
+    assert len(cells) == 1
+    assert cells[0]["bl"] == 0 and cells[0]["lb"] == 0 and cells[0]["cnt"] == 3
