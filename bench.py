@@ -206,6 +206,10 @@ def operator_bench(spark) -> dict[str, float]:
         "tfidf_top_terms",
         "ann_topk_quantized",
         "salted_user_value",
+        # round-4 breadth additions worth perf visibility
+        "kmeans_fp_clusters",
+        "mg_top_terms",
+        "hdr_quantiles",
     ]
     out: dict[str, float] = {}
     for name in headline:
