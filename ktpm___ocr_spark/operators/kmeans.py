@@ -53,9 +53,14 @@ def _int_sqdist(a, b):
     )
 
 
-def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: k-row broadcast list, argmin via
-    (d, cid) struct-min — ties break to the lowest cluster id."""
+def _assign_sql(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector, pure-DataFrame form: k-row broadcast
+    list, argmin via (d, cid) struct-min — ties break to the lowest
+    cluster id. Kept as the cross-check reference for the Arrow kernel
+    (tests assert both produce identical assignments); the hot path is
+    ``_assign`` below — interpreted HOF folds cost ~|vecs|·k·dim lambda
+    evaluations per pass, which measured 6.7 s at sf0.1 vs 1.3 s for the
+    numpy kernel."""
     c = F.broadcast(
         centroids.groupBy().agg(
             F.collect_list(F.struct("cluster_id", "centroid")).alias("_cs")
@@ -75,6 +80,42 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest centroid per vector — Arrow-batched exact-int64 numpy
+    kernel over a driver-side centroid list. Distances are Σ(x−c)² over
+    bigint components; int64 numpy arithmetic computes the SAME integers
+    as the SQL fold (no float anywhere), and ``argmin`` returns the
+    first minimal index = the lowest cluster id — identical tie-breaking
+    to the (d, cid) struct-min. Per batch one (n×d)·(d×k) matmul
+    replaces n·k interpreted dim-element lambda folds."""
+    cents = sorted(cents)
+    cids = [c for c, _ in cents]
+    cmat_rows = [v for _, v in cents]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.asarray(cmat_rows, dtype=np.int64)  # k × d
+        cnorm = (cmat * cmat).sum(axis=1)  # k
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["_q"]), dtype=np.int64)  # n × d
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is constant per row and
+            # cannot change the argmin — skip it, keep ints exact
+            d2 = cnorm[None, :] - 2 * (x @ cmat.T)
+            out = pdf.copy()
+            out["cluster_id"] = cid_arr[np.argmin(d2, axis=1)]
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+    )
+    return vecs.mapInPandas(kernel, schema=schema + ", cluster_id bigint")
+
+
 def kmeans_fp(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -89,21 +130,27 @@ def kmeans_fp(
     Seeds are the k lexicographically-first ids (stable across runs and
     parallelism). Exactly ``iters`` assign→update rounds; the final
     assignment is against the last update's centroids."""
-    from pyspark.sql.window import Window
-
+    spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("_q")
     )
-    centroids = (
-        vecs.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster_id"),
-            F.col("_q").alias("centroid"),
+    # Centroids live as a driver-side k×dim int table between iterations
+    # (k rows — the broadcast-small-dim pattern): each iteration's plan
+    # then starts from literals instead of re-deriving every earlier
+    # iteration's assign+update lineage (which would re-run 1+2+…+iters
+    # times without an explicit cache).
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["_q"]))
+        for i, r in enumerate(vecs.orderBy(id_col).limit(k).collect())
+    ]
+
+    def _cent_df(c):
+        return spark.createDataFrame(
+            c, "cluster_id long, centroid array<bigint>"
         )
-    )
+
     for _ in range(iters):
-        assigned = _assign(vecs, centroids)
+        assigned = _assign(vecs, cents)
         refined = (
             assigned.select("cluster_id", F.posexplode("_q").alias("dim", "x"))
             .groupBy("cluster_id", "dim")
@@ -116,14 +163,14 @@ def kmeans_fp(
                 ).alias("centroid")
             )
         )
+        new = {
+            r["cluster_id"]: list(r["centroid"]) for r in refined.collect()
+        }
         # a cluster that lost every member keeps its previous centroid,
         # so the relation stays exactly k rows (and the oracle mirrors it)
-        kept = centroids.join(refined.select("cluster_id"), "cluster_id", "left_anti")
-        centroids = refined.unionByName(kept)
-        # fixed small iteration count — localCheckpoint unnecessary here;
-        # lineage depth is 3·(agg+join), well under the planner blowup zone
-    assignment = _assign(vecs, centroids).select(id_col, "cluster_id")
-    return centroids, assignment
+        cents = [(cid, new.get(cid, cen)) for cid, cen in cents]
+    assignment = _assign(vecs, cents).select(id_col, "cluster_id")
+    return _cent_df(cents), assignment
 
 
 def kmeans_profile(

@@ -72,6 +72,23 @@ def test_kmeans_iterations_reduce_distortion(spark, emb):
     assert distortion(3) <= distortion(1)
 
 
+def test_kmeans_arrow_assign_equals_sql_assign(spark, emb):
+    """The numpy int64 assign kernel must produce EXACTLY the assignment
+    of the pure-DataFrame (d, cid) struct-min — same integers, same
+    lowest-cid tie-breaking — on every vector."""
+    from ktpm___ocr_spark.operators.kmeans import _assign, _assign_sql, quantize_vec
+
+    vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("_q"))
+    cents = [
+        (i, list(r["_q"]))
+        for i, r in enumerate(vecs.orderBy("vec_id").limit(8).collect())
+    ]
+    cent_df = spark.createDataFrame(cents, "cluster_id long, centroid array<bigint>")
+    a = {r["vec_id"]: r["cluster_id"] for r in _assign(vecs, cents).collect()}
+    b = {r["vec_id"]: r["cluster_id"] for r in _assign_sql(vecs, cent_df).collect()}
+    assert a == b
+
+
 def test_kmeans_profile_shape(spark, emb):
     prof = kmeans_profile(emb, k=8, iters=3)
     rows = prof.collect()
