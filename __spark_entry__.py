@@ -2162,6 +2162,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hdr_quantiles"] = hdr_q
 
+    def inverted_index_q(spark, sf):
+        """Positional inverted index over the corpus vocabulary with
+        min-df / stopword-ratio gates — term-keyed one-pass build
+        (retrieval.py); postings as the canonical doc:positions string."""
+        from ktpm___ocr_spark.functions.retrieval import inverted_index
+
+        # gates tuned to the synthetic 31-term vocabulary: most terms
+        # land in 50-90 % of docs (zipf head), so (5, 0.9) keeps all 31
+        # as driver-checked posting lists; the production defaults
+        # (20, 0.5) stay in retrieval.py
+        return inverted_index(
+            _t(spark, sf, "documents"), min_df=5, max_df_ratio=0.9
+        )
+
+    q["inverted_index_terms"] = inverted_index_q
+
+    def bm25_q(spark, sf):
+        """Okapi BM25 top-10 for a fixed bag-of-terms query — the sparse
+        retrieval counterpart of the ANN family; score rounded before
+        ranking (doc_id tiebreak) for cross-engine rank stability."""
+        from ktpm___ocr_spark.functions.retrieval import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf, "documents"), ["hash", "join", "scan"], k=10
+        )
+
+    q["bm25_topk_docs"] = bm25_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2230,14 +2258,14 @@ _DRIVER_WINDOW = [
     "convert_pipeline_docs",
     "s6_txt_sink",
     "s8_checkpoint_resume",
-    "dedup_minhash_pairs",
     "hll_distinct_users",
-    "a1_hit_rate",
     "tfidf_top_terms",
     # -- round-4 additions: driver-checked the round they land --
     "kmeans_fp_clusters",
     "mg_top_terms",
     "hdr_quantiles",
+    "inverted_index_terms",
+    "bm25_topk_docs",
 ]
 assert len(_DRIVER_WINDOW) == 50
 
@@ -3588,6 +3616,54 @@ WHERE rn <= 5
         "AS target_rank FROM t, n) "
         "SELECT label, target_rank, min(lb) AS est_centi FROM tr "
         "JOIN cum ON cum >= target_rank GROUP BY 1, 2"
+    )
+
+    # Inverted index: positions are 0-based (posexplode ↔ DuckDB lambda
+    # index i-1); postings ordered by doc id; min-df + stopword gates.
+    o["inverted_index_terms"] = (
+        f"WITH n AS (SELECT count(*) AS _n FROM documents), "
+        f"tp AS (SELECT doc_id, t.term AS term, t.pos AS pos FROM (SELECT "
+        f"doc_id, unnest(list_transform({_words}, (w, i) -> "
+        "struct_pack(term := w, pos := i - 1))) AS t FROM documents)), "
+        "pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, "
+        "string_agg(CAST(pos AS VARCHAR), ' ' ORDER BY pos) AS plist "
+        "FROM tp GROUP BY 1, 2), "
+        "pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df, "
+        "CAST(sum(tf) AS BIGINT) AS cf, "
+        "string_agg(CAST(doc_id AS VARCHAR) || ':' || plist, ',' "
+        "ORDER BY doc_id) AS postings FROM pd GROUP BY 1) "
+        "SELECT term, df, cf, postings FROM pt, n "
+        "WHERE df >= 5 AND df <= _n * 0.9"
+    )
+
+    # BM25: every non-dyadic constant CAST to DOUBLE — a bare 2.2 in
+    # DuckDB is DECIMAL(2,1) and its exact arithmetic diverges from
+    # Spark's float literal in the last ulps; dyadic 0.5/0.75 are exact
+    # either way. Sum-of-ints avgdl is exact in double (< 2^53).
+    _bm25_s = (
+        "ln(CAST(1 AS DOUBLE) + (CAST(_n - df AS DOUBLE) + 0.5) / "
+        "(CAST(df AS DOUBLE) + 0.5)) * "
+        "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / "
+        "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+        "(1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / _avgdl))"
+    )
+    o["bm25_topk_docs"] = (
+        "WITH q(term) AS (VALUES ('hash'), ('join'), ('scan')), "
+        f"lens AS (SELECT doc_id, CAST(len({_words}) AS BIGINT) AS dl "
+        "FROM documents), "
+        "st AS (SELECT count(*) AS _n, avg(CAST(dl AS DOUBLE)) AS _avgdl "
+        "FROM lens), "
+        f"tp AS (SELECT doc_id, unnest({_words}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tp JOIN q USING (term) GROUP BY 1, 2), "
+        "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf "
+        "GROUP BY 1), "
+        f"sc AS (SELECT doc_id, {_bm25_s} AS s FROM tf "
+        "JOIN dft USING (term) JOIN lens USING (doc_id), st), "
+        "pd AS (SELECT doc_id, round(sum(s), 4) AS score, "
+        "CAST(count(*) AS BIGINT) AS n_hits FROM sc GROUP BY 1) "
+        "SELECT doc_id, score, n_hits FROM pd "
+        "ORDER BY score DESC, doc_id LIMIT 10"
     )
 
     # kmeans: 3 unrolled fixed-point Lloyd iterations (the pagerank

@@ -1,0 +1,160 @@
+"""Sparse retrieval over the document corpus: inverted index + BM25.
+
+The dense side of similarity search lives in ``operators/similarity.py``
+(brute/LSH/IVF ANN); this module is the sparse counterpart a corpus
+pipeline needs for keyword search, contamination lookups, and
+quality-weighted retrieval-based filtering.
+
+* ``inverted_index`` — term → document posting lists with positions,
+  the classic IR structure (Zobel & Moffat 2006, "Inverted files for
+  text search engines"). Shape at scale: one explode + two hash
+  aggregates keyed by (term, doc) then (term) — both map-side
+  combinable and shuffled on the term key, so the index build is one
+  pass and partitions by term hash. Stopword-class skew (a term in
+  every doc) is bounded by the ``min_df``/``max_df_ratio`` gates, the
+  same guard real indexers apply.
+* ``bm25_topk`` — Okapi BM25 (Robertson & Sparck Jones / Robertson et
+  al., TREC-3) ranked retrieval for a literal query-term set. The query
+  side is a broadcast of |q| terms; corpus work is one (doc, term)
+  aggregate + a per-doc sum, then a global top-k (TakeOrdered — no full
+  sort). Scores are rounded BEFORE ranking (ties then break by doc_id)
+  so the ranking is reproducible across engines — ``ln`` may differ by
+  1 ulp between libm implementations, and an unrounded order-by would
+  let that flip ranks (same convention as tfidf_top_terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions.textstats import words_array
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _term_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, pos) — 0-based token position within the doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 20,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Positional inverted index: one row per surviving term with
+    ``(term, df, cf, postings)`` where ``postings`` is the canonical
+    string ``doc:p1 p2 p3,doc:p1,…`` ordered by doc id (scalar
+    projection — array columns don't survive the driver canonicalizer;
+    a real deployment would keep the nested arrays and write
+    partitionBy(term-hash) parquet).
+
+    ``df`` = document frequency, ``cf`` = collection frequency. Terms
+    below ``min_df`` (noise tail: the vocabulary's long tail dominates
+    row count but serves no retrieval purpose) and above
+    ``max_df_ratio``·N (stopword class: posting list ≈ the whole corpus,
+    the skew bound of the term-keyed shuffle) are gated out."""
+    n_docs_row = docs.select(F.count(F.lit(1)).alias("_n"))
+    per_doc = (
+        _term_positions(docs, id_col, text_col)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("pos").cast("long"))), " "
+            ).alias("plist"),
+        )
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "plist"))
+                ),
+                lambda s: F.concat(
+                    s["doc_id"].cast("string"), F.lit(":"), s["plist"]
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n_docs_row))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("_n") * max_df_ratio)
+        )
+        .select("term", "df", "cf", "postings")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under Okapi BM25.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (the non-negative
+    variant), tf component = tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)).
+    Stats (N, avgdl, per-term df) are computed on the corpus; the query
+    relation is |q| rows, broadcast into every join. Output
+    (doc_id, score, n_hits) with score rounded to 4 dp before the
+    rank order (doc_id tiebreak)."""
+    q = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in sorted(set(query_terms))], "term string"
+        )
+    )
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words_array(F.col(text_col))).cast("long").alias("dl"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    tf = (
+        _term_positions(docs, id_col, text_col)
+        .join(q, "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 4).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
