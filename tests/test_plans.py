@@ -148,3 +148,50 @@ def test_containment_band_join_is_shuffle_not_cartesian(spark, sf01_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_broadcasts_query_and_stats_no_cartesian(spark, sf01_dir):
+    """The query-term relation, per-term df, and the 1-row stats relation
+    are all broadcast; the corpus is never on the build side and no join
+    degrades to a cartesian/nested-loop product."""
+    df = em.queries()["bm25_topk_docs"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the 1-row stats crossJoin compiles to a broadcast nested loop over
+    # ONE row — the only acceptable nested-loop shape
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_update_aggregate_is_partial(spark, sf01_dir):
+    """The centroid update must map-side combine: two HashAggregates
+    around the (cluster, dim)-keyed exchange, so the shuffle carries at
+    most k·dim·partitions rows, not |corpus|·dim."""
+    from ktpm___ocr_spark.operators.kmeans import kmeans_fp
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    centroids, assignment = kmeans_fp(emb, k=4, iters=1)
+    plan = _plan(assignment)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mg_recount_join_is_broadcast(spark, sf01_dir):
+    """The ≤m candidate relation must broadcast into the exact-recount
+    join — the corpus term stream is never shuffled for the probe."""
+    df = em.queries()["mg_top_terms"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hdr_cells_aggregate_is_partial(spark, sf01_dir):
+    """Histogram cells must partially aggregate before the exchange
+    (mergeable-by-addition is what makes the sketch scale)."""
+    from ktpm___ocr_spark.functions.sketches import hdr_cells
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    df = hdr_cells(ev, "value")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
