@@ -158,3 +158,45 @@ def test_dedup_upsert_stream_cross_batch(spark, events_dir, tmp_path):
     want = spark.read.parquet(events_dir)
     assert got.count() == want.count()  # doubled input, deduped store
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_stream_hdr_cells_merge_across_batches(spark, events_dir, tmp_path):
+    """The HDR histogram's merge-by-addition is exactly what makes it
+    streamable: two micro-batches (one file per trigger) must drain to
+    the same cell relation as the batch histogram over the whole input."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import hdr_cells
+    from ktpm___ocr_spark.streaming.jobs import EVENTS_SCHEMA
+
+    ev = spark.read.parquet(events_dir)
+    d = tmp_path / "hdr_two_files"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "a.parquet")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "b.parquet")
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*/")
+    )
+    q = (
+        hdr_cells(src, "value")
+        .writeStream.format("memory")
+        .queryName("hdr_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bl"], r["sub"], r["lb"]): r["cnt"]
+        for r in spark.table("hdr_stream").collect()
+    }
+    want = {
+        (r["bl"], r["sub"], r["lb"]): r["cnt"]
+        for r in hdr_cells(ev, "value").collect()
+    }
+    assert got == want
