@@ -210,6 +210,8 @@ def operator_bench(spark) -> dict[str, float]:
         "kmeans_fp_clusters",
         "mg_top_terms",
         "hdr_quantiles",
+        "inverted_index_terms",
+        "bm25_topk_docs",
     ]
     out: dict[str, float] = {}
     for name in headline:
