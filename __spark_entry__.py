@@ -2238,6 +2238,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall_ivf"] = ann_recall_ivf_q
 
+    def proximity_q(spark, sf):
+        """Positional proximity query over the corpus: docs where 'hash'
+        and 'join' co-occur within 5 tokens, plus closest distance — the
+        op that justifies a POSITIONAL index (retrieval.py)."""
+        from ktpm___ocr_spark.functions.retrieval import proximity_hits
+
+        return proximity_hits(
+            _t(spark, sf, "documents"), "hash", "join", max_dist=5
+        )
+
+    q["proximity_hits_docs"] = proximity_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2303,7 +2315,6 @@ _DRIVER_WINDOW = [
     "top_parts_by_qty",
     # -- anchors: r3-green canaries for modules touched this round --
     "extract_pipeline_synth",
-    "convert_pipeline_docs",
     "s6_txt_sink",
     "s8_checkpoint_resume",
     # -- round-4 additions: driver-checked the round they land --
@@ -2314,6 +2325,7 @@ _DRIVER_WINDOW = [
     "bm25_topk_docs",
     "stream_hdr_cells",
     "ann_recall_ivf",
+    "proximity_hits_docs",
 ]
 assert len(_DRIVER_WINDOW) == 50
 
@@ -3100,6 +3112,18 @@ SELECT query_id, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 5
 """
+
+    o["proximity_hits_docs"] = (
+        f"WITH tp AS (SELECT doc_id, t.term AS term, t.pos AS pos FROM "
+        f"(SELECT doc_id, unnest(list_transform({_words}, (w, i) -> "
+        "struct_pack(term := w, pos := i - 1))) AS t FROM documents)), "
+        "pa AS (SELECT doc_id, pos AS p1 FROM tp WHERE term = 'hash'), "
+        "pb AS (SELECT doc_id, pos AS p2 FROM tp WHERE term = 'join'), "
+        "d AS (SELECT doc_id, CAST(abs(p1 - p2) AS BIGINT) AS dist "
+        "FROM pa JOIN pb USING (doc_id)) "
+        "SELECT doc_id, min(dist) AS min_dist, CAST(count(*) AS BIGINT) "
+        "AS n_pairs FROM d GROUP BY 1 HAVING min(dist) <= 5"
+    )
 
     # ANN recall eval: both sides are the existing (driver-green) IVF and
     # brute-force oracles, composed as nested-WITH CTEs (DuckDB allows a

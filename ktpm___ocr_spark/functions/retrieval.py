@@ -158,3 +158,42 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
     )
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def proximity_hits(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional proximity query — the op that justifies storing
+    positions in the index at all: documents where ``term_a`` and
+    ``term_b`` co-occur within ``max_dist`` tokens, with the closest
+    distance found. Output (doc_id, min_dist, n_pairs).
+
+    Shape: two position streams filtered to the query terms at the scan
+    (a 2-row broadcast IN-filter), joined per doc — per-doc work is
+    tf_a·tf_b pairs, bounded by the per-doc term frequencies of TWO
+    specific terms, never corpus-sized. A real engine would walk the two
+    posting lists in one merge pass; the join formulation lets AQE
+    handle the rare keyword-stuffed doc."""
+    tp = _term_positions(docs, id_col, text_col)
+    pa = tp.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = tp.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = pa.join(pb, "doc_id").select(
+        "doc_id", F.abs(F.col("pa") - F.col("pb")).cast("long").alias("dist")
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.min("dist").alias("min_dist"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("min_dist") <= max_dist)
+    )

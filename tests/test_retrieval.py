@@ -84,3 +84,21 @@ def test_bm25_longer_doc_penalized_at_equal_tf(spark):
     )
     got = {r["doc_id"]: r["score"] for r in bm25_topk(d, ["join"], k=2).collect()}
     assert got[1] > got[2]  # same tf, shorter doc scores higher (b > 0)
+
+
+def test_proximity_hits_distances(spark):
+    from ktpm___ocr_spark.functions.retrieval import proximity_hits
+
+    d = spark.createDataFrame(
+        [
+            (1, "hash x x join"),          # dist 3
+            (2, "join hash"),              # dist 1
+            (3, "hash " + "x " * 20 + "join"),  # dist 21 > 5 → excluded
+            (4, "hash only here"),         # no join → excluded
+            (5, "join hash join hash"),    # multiple pairs, min dist 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["min_dist"], r["n_pairs"]) for r in
+           proximity_hits(d, "hash", "join", max_dist=5).collect()}
+    assert got == {1: (3, 1), 2: (1, 1), 5: (1, 4)}
