@@ -1247,9 +1247,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         content stream that came out of the real container — title line at
         18 pt / body lines at 13 pt descending from y=754 in 17 pt steps,
         PDF-escaped — against the SQL oracle's reconstruction."""
+        # latin-1 pre-sanitize (both engines identically): the PDF stream
+        # encodes with errors='replace' ('?'), so a non-latin-1 char in
+        # raw text would diverge from the oracle's reconstruction of the
+        # ORIGINAL text. Replacing up front makes the encode a no-op by
+        # construction — correct for any corpus, not just ASCII testdata.
         d = _t(spark, sf, "documents").select(
             F.col("doc_id").cast("string").alias("doc_id"),
-            _render_body().alias("text"),
+            F.regexp_replace(_render_body(), r"[^\x00-\xFF]", "?").alias("text"),
             textnorm.title_from_name(F.concat(F.col("source"), F.lit(".pdf"))).alias(
                 "title"
             ),
@@ -3255,8 +3260,11 @@ WHERE rn <= 5
         )
 
     _pdf_body_norm = _pdf_norm.replace("(text,", "(body_raw,", 1)
+    # mirror of the Spark side's latin-1 pre-sanitize ('?' for any char
+    # outside \x00-\xFF) — keeps the oracle correct on non-ASCII corpora
     o["s4_pdf_sink"] = (
-        f"WITH b AS (SELECT doc_id, source, {_render_body_sql} AS body_raw "
+        f"WITH b AS (SELECT doc_id, source, regexp_replace({_render_body_sql}, "
+        "'[^\\x00-\\xff]', '?', 'g') AS body_raw "
         "FROM documents), "
         f"n AS (SELECT doc_id, source, {_title_sql('pdf')} AS title, "
         f"{_pdf_body_norm} AS body FROM b) "
@@ -3597,8 +3605,9 @@ WHERE rn <= 5
         "AS nofrag FROM u), "
         "parts AS (SELECT doc_id, url, "
         f"lower(regexp_extract(nofrag, '{_scheme_re}', 1)) AS scheme, "
+        # greedy to the LAST '@' (RFC 3986 userinfo delimiter)
         f"regexp_replace(lower(regexp_extract(nofrag, '{_hostport_re}', 1)), "
-        "'^[^@]*@', '', 'g') AS hostport, "
+        "'^.*@', '', 'g') AS hostport, "
         f"regexp_extract(nofrag, '{_rawpath_re}', 1) AS rawpath, "
         "regexp_extract(nofrag, '\\?([^#]*)', 1) AS query FROM nf), "
         # userinfo stripped; bracketed IPv6 host keeps its brackets
@@ -3683,16 +3692,25 @@ WHERE rn <= 5
 
     # HDR histogram: same integer-exact bucketing as sketches.hdr_cells —
     # floor(value·100), bit-length bucket, 16 linear sub-buckets, target
-    # rank = ceiling division; HUGEINT sums cast back to BIGINT.
-    o["hdr_quantiles"] = (
-        "WITH i0 AS (SELECT greatest(CAST(floor(value * 100) AS BIGINT), "
+    # rank = ceiling division; HUGEINT sums cast back to BIGINT. ONE
+    # definition of the bucketing CTEs, shared by the batch-quantile and
+    # streaming-cells oracles (divergence here would let the two oracles
+    # silently disagree after a constants change).
+    _hdr_cells_ctes = (
+        "i0 AS (SELECT greatest(CAST(floor(value * 100) AS BIGINT), "
         "CAST(0 AS BIGINT)) AS iv FROM events), "
         "c0 AS (SELECT iv, CASE WHEN iv <= 0 THEN CAST(0 AS BIGINT) ELSE "
         "CAST(length(bin(iv)) AS BIGINT) END AS bl FROM i0), "
         "c1 AS (SELECT iv, bl, CASE WHEN bl <= 5 THEN CAST(1 AS BIGINT) ELSE "
-        "CAST(pow(2.0, CAST(bl - 5 AS DOUBLE)) AS BIGINT) END AS p FROM c0), "
-        "cells AS (SELECT bl, iv // p AS sub, (iv // p) * p AS lb, "
-        "CAST(count(*) AS BIGINT) AS cnt FROM c1 GROUP BY 1, 2, 3), "
+        "CAST(pow(2.0, CAST(bl - 5 AS DOUBLE)) AS BIGINT) END AS p FROM c0)"
+    )
+    _hdr_cells_select = (
+        "SELECT bl, iv // p AS sub, (iv // p) * p AS lb, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM c1 GROUP BY 1, 2, 3"
+    )
+    o["hdr_quantiles"] = (
+        f"WITH {_hdr_cells_ctes}, "
+        f"cells AS ({_hdr_cells_select}), "
         "cum AS (SELECT lb, sum(cnt) OVER (ORDER BY lb ROWS BETWEEN UNBOUNDED "
         "PRECEDING AND CURRENT ROW) AS cum FROM cells), "
         "n AS (SELECT sum(cnt) AS _n FROM cells), "
@@ -3753,17 +3771,9 @@ WHERE rn <= 5
     )
 
     # streaming HDR: same cells as the batch histogram (that equality IS
-    # the point — merge-by-addition makes the sketch streamable)
-    o["stream_hdr_cells"] = (
-        "WITH i0 AS (SELECT greatest(CAST(floor(value * 100) AS BIGINT), "
-        "CAST(0 AS BIGINT)) AS iv FROM events), "
-        "c0 AS (SELECT iv, CASE WHEN iv <= 0 THEN CAST(0 AS BIGINT) ELSE "
-        "CAST(length(bin(iv)) AS BIGINT) END AS bl FROM i0), "
-        "c1 AS (SELECT iv, bl, CASE WHEN bl <= 5 THEN CAST(1 AS BIGINT) ELSE "
-        "CAST(pow(2.0, CAST(bl - 5 AS DOUBLE)) AS BIGINT) END AS p FROM c0) "
-        "SELECT bl, iv // p AS sub, (iv // p) * p AS lb, "
-        "CAST(count(*) AS BIGINT) AS cnt FROM c1 GROUP BY 1, 2, 3"
-    )
+    # the point — merge-by-addition makes the sketch streamable); reuses
+    # the exact CTE text defined above hdr_quantiles
+    o["stream_hdr_cells"] = f"WITH {_hdr_cells_ctes} {_hdr_cells_select}"
 
     # kmeans: 3 unrolled fixed-point Lloyd iterations (the pagerank
     # pattern). All-bigint distances and floor-division centroid means;

@@ -184,18 +184,17 @@ def mg_merge(summaries: DataFrame, m: int = MG_CAPACITY) -> DataFrame:
     the positive remainder (the Agarwal et al. merge — re-capping costs
     one more additive n/(m+1) error term). The summed relation is at most
     m · #partitions rows — tiny; offset is a 1-row broadcast."""
-    from pyspark.sql.window import Window
-
     combined = summaries.groupBy("term").agg(F.sum("cnt").alias("cnt"))
-    # (m+1)-th largest combined counter (0 when ≤ m terms survive); the
-    # summary relation is tiny, so the single-partition window is fine
-    ranked = combined.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
-    )
-    off = ranked.select(
-        F.coalesce(F.max(F.when(F.col("rk") == m + 1, F.col("cnt"))), F.lit(0)).alias(
-            "_off"
-        )
+    # (m+1)-th largest combined counter (0 when ≤ m terms survive).
+    # TakeOrdered (orderBy+limit), NOT a global window: the combined
+    # relation is m·#partitions rows — at 100k input partitions a
+    # no-partition row_number would push 25M rows through one task,
+    # while limit(m+1) keeps per-task state at m+1 everywhere.
+    top = combined.orderBy(F.desc("cnt"), F.asc("term")).limit(m + 1)
+    off = top.agg(
+        F.coalesce(
+            F.when(F.count(F.lit(1)) == m + 1, F.min("cnt")), F.lit(0)
+        ).alias("_off")
     )
     return (
         combined.crossJoin(F.broadcast(off))

@@ -126,8 +126,14 @@ def bm25_topk(
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
     )
+    # plain explode, not _term_positions: BM25 never reads positions, so
+    # the posexplode struct construction would be pure per-row waste on
+    # the corpus-sized hot path
     tf = (
-        _term_positions(docs, id_col, text_col)
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words_array(F.col(text_col))).alias("term"),
+        )
         .join(q, "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

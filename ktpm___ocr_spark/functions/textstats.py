@@ -219,7 +219,9 @@ def url_canonicalize(url: Column | str) -> Column:
     authority = F.lower(
         F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
     )
-    hostport = F.regexp_replace(authority, "^[^@]*@", "")
+    # RFC 3986: userinfo is delimited by the LAST '@' in the authority —
+    # greedy '.*@' (not '[^@]*@') so 'alice@p@ss@host' strips fully
+    hostport = F.regexp_replace(authority, "^.*@", "")
     host = F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]+)", 1)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = ((scheme == "http") & (port == "80")) | (

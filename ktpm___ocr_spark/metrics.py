@@ -210,19 +210,24 @@ class CheckpointedRun:
         import shutil
 
         done: list[int] = []
-        m = self._read_manifest()
-        if m["status"] == "cancelled":  # retry after cancel (server.js:354-366)
-            m["status"] = "running"
-            self._write_manifest(m)
+        # both status flips are read-modify-write cycles and take the
+        # manifest lock like cancel()/_commit() — an unlocked flip here
+        # would clobber a concurrent mutation with its stale snapshot
+        with self._manifest_lock():
+            m = self._read_manifest()
+            if m["status"] == "cancelled":  # retry after cancel (server.js:354-366)
+                m["status"] = "running"
+                self._write_manifest(m)
         todo = [b for b in range(self.n_buckets) if b not in self.committed()]
         if not todo:
             # all buckets committed: restore 'complete' — a cancel that
             # raced the FINAL bucket's commit leaves a full manifest
             # marked cancelled, which this (the retry) resolves
-            m = self._read_manifest()
-            if m["status"] != "complete":
-                m["status"] = "complete"
-                self._write_manifest(m)
+            with self._manifest_lock():
+                m = self._read_manifest()
+                if m["status"] != "complete":
+                    m["status"] = "complete"
+                    self._write_manifest(m)
             return done
         src = (
             source.withColumn("_bucket", self.bucket_col())

@@ -131,9 +131,12 @@ def kmeans_fp(
     parallelism). Exactly ``iters`` assign→update rounds; the final
     assignment is against the last update's centroids."""
     spark = corpus.sparkSession
+    # persisted for the loop: every iteration's update + the final assign
+    # are separate jobs, and without the cache each would re-scan and
+    # re-quantize the corpus (iters+1 redundant passes)
     vecs = corpus.select(
         F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("_q")
-    )
+    ).persist()
     # Centroids live as a driver-side k×dim int table between iterations
     # (k rows — the broadcast-small-dim pattern): each iteration's plan
     # then starts from literals instead of re-deriving every earlier
@@ -169,7 +172,15 @@ def kmeans_fp(
         # a cluster that lost every member keeps its previous centroid,
         # so the relation stays exactly k rows (and the oracle mirrors it)
         cents = [(cid, new.get(cid, cen)) for cid, cen in cents]
-    assignment = _assign(vecs, cents).select(id_col, "cluster_id")
+    # final assignment: localCheckpoint materializes it off the cached
+    # vecs so the cache can be released before returning (no persisted
+    # blocks outlive the operator — repo-wide persist-hygiene rule)
+    try:
+        assignment = (
+            _assign(vecs, cents).select(id_col, "cluster_id").localCheckpoint()
+        )
+    finally:
+        vecs.unpersist()
     return _cent_df(cents), assignment
 
 

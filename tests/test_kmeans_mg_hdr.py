@@ -106,7 +106,10 @@ def test_mg_summary_state_is_bounded(spark, docs):
     terms = docs.select(F.explode(words_array(F.col("text"))).alias("term"))
     summ = mg_partition_summaries(terms.repartition(8), m=64)
     per_part = summ.groupBy(F.spark_partition_id().alias("p")).count()
-    # ≤ m candidate rows per partition regardless of stream size
+    # ≤ m candidate rows per partition regardless of stream size —
+    # asserted per partition, not just in total (a fold leaking > m
+    # counters in one partition could hide under the global bound)
+    assert per_part.agg(F.max("count")).first()[0] <= 64
     assert summ.count() <= 8 * 64
     merged = mg_merge(summ, m=64)
     assert merged.count() <= 64
