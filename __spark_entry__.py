@@ -3655,12 +3655,14 @@ WHERE rn <= 5
         "tx AS (SELECT doc_id, unnest(spans) AS s FROM sp), "
         "t2 AS (SELECT doc_id, s.tx AS txt FROM tx WHERE s.k = 'text'), "
         # element-based (mirrors anchor_pairs): whole <a>…</a> elements
-        # first, href/body pulled per element — a malformed tag drops
-        # only itself instead of desynchronizing two zipped lists
-        "pr AS (SELECT doc_id, list_transform("
+        # first, href/body per element; elements whose body swallowed a
+        # nested opener (unclosed-tag merge) are dropped, so malformed
+        # markup never emits a corrupted pair
+        "pr AS (SELECT doc_id, list_filter(list_transform("
         "regexp_extract_all(txt, '(?s)<a href=\"[^\"]*\"[^>]*>.*?</a>', 0), "
         "e -> struct_pack(href := regexp_extract(e, '<a href=\"([^\"]*)\"[^>]*>', 1), "
-        "anchor := regexp_extract(e, '(?s)^<a href=\"[^\"]*\"[^>]*>(.*)</a>$', 1))) "
+        "anchor := regexp_extract(e, '(?s)^<a href=\"[^\"]*\"[^>]*>(.*)</a>$', 1))), "
+        "p -> NOT contains(p.anchor, '<a href=\"')) "
         "AS ps FROM t2) "
         "SELECT doc_id, p.href AS href, p.anchor AS anchor FROM "
         "(SELECT doc_id, unnest(ps) AS p FROM pr)"
@@ -3697,8 +3699,10 @@ WHERE rn <= 5
     # streaming-cells oracles (divergence here would let the two oracles
     # silently disagree after a constants change).
     _hdr_cells_ctes = (
+        # NULL values excluded (mirrors hdr_cells: greatest() skips nulls
+        # in both engines, which would count a null as a 0 observation)
         "i0 AS (SELECT greatest(CAST(floor(value * 100) AS BIGINT), "
-        "CAST(0 AS BIGINT)) AS iv FROM events), "
+        "CAST(0 AS BIGINT)) AS iv FROM events WHERE value IS NOT NULL), "
         "c0 AS (SELECT iv, CASE WHEN iv <= 0 THEN CAST(0 AS BIGINT) ELSE "
         "CAST(length(bin(iv)) AS BIGINT) END AS bl FROM i0), "
         "c1 AS (SELECT iv, bl, CASE WHEN bl <= 5 THEN CAST(1 AS BIGINT) ELSE "

@@ -60,7 +60,15 @@ def inverted_index(
     below ``min_df`` (noise tail: the vocabulary's long tail dominates
     row count but serves no retrieval purpose) and above
     ``max_df_ratio``·N (stopword class: posting list ≈ the whole corpus,
-    the skew bound of the term-keyed shuffle) are gated out."""
+    the skew bound of the term-keyed shuffle) are gated out.
+
+    Two-phase build so the gates bound skew for real: phase 1 computes
+    per-term df/cf (map-combinable counts — safe for any skew) and
+    applies the gates; phase 2 builds the expensive postings strings
+    ONLY for surviving terms via a broadcast semi-join. A single-pass
+    formulation would funnel a stopword's N postings structs into one
+    collect_list buffer and materialize a corpus-sized string on one
+    task *before* the filter could discard it."""
     n_docs_row = docs.select(F.count(F.lit(1)).alias("_n"))
     per_doc = (
         _term_positions(docs, id_col, text_col)
@@ -72,29 +80,35 @@ def inverted_index(
             ).alias("plist"),
         )
     )
-    per_term = per_doc.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("doc_id", "plist"))
-                ),
-                lambda s: F.concat(
-                    s["doc_id"].cast("string"), F.lit(":"), s["plist"]
-                ),
-            ),
-            ",",
-        ).alias("postings"),
-    )
-    return (
-        per_term.crossJoin(F.broadcast(n_docs_row))
+    survivors = (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .crossJoin(F.broadcast(n_docs_row))
         .filter(
             (F.col("df") >= min_df)
             & (F.col("df") <= F.col("_n") * max_df_ratio)
         )
-        .select("term", "df", "cf", "postings")
+        .select("term", "df", "cf")
     )
+    postings = (
+        per_doc.join(F.broadcast(survivors.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "plist"))),
+                    lambda s: F.concat(
+                        s["doc_id"].cast("string"), F.lit(":"), s["plist"]
+                    ),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return survivors.join(postings, "term").select("term", "df", "cf", "postings")
 
 
 def bm25_topk(
@@ -126,22 +140,35 @@ def bm25_topk(
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
     )
-    # plain explode, not _term_positions: BM25 never reads positions, so
-    # the posexplode struct construction would be pure per-row waste on
-    # the corpus-sized hot path
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(words_array(F.col(text_col))).alias("term"),
+    # ONE tokenize per row on the tf path: let-bind the words array
+    # (CollapseProject would otherwise re-inline words_array into every
+    # consumer — no CSE across HOF boundaries) and emit (dl, term) pairs
+    # from a single generator, carrying dl through the aggregate so no
+    # corpus-sized tf⋈lens shuffle join is needed. BM25 never reads
+    # positions, so no posexplode struct either.
+    from ktpm___ocr_spark.functions.exprutil import let
+
+    pairs = F.explode(
+        let(
+            words_array(F.col(text_col)),
+            lambda ws: F.transform(
+                ws,
+                lambda w: F.struct(
+                    F.size(ws).cast("long").alias("dl"), w.alias("term")
+                ),
+            ),
         )
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), pairs.alias("p"))
+        .select("doc_id", "p.dl", "p.term")
         .join(q, "term")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -179,27 +206,70 @@ def proximity_hits(
     ``term_b`` co-occur within ``max_dist`` tokens, with the closest
     distance found. Output (doc_id, min_dist, n_pairs).
 
-    Shape: two position streams filtered to the query terms at the scan
-    (a 2-row broadcast IN-filter), joined per doc — per-doc work is
-    tf_a·tf_b pairs, bounded by the per-doc term frequencies of TWO
-    specific terms, never corpus-sized. A real engine would walk the two
-    posting lists in one merge pass; the join formulation lets AQE
-    handle the rare keyword-stuffed doc."""
-    tp = _term_positions(docs, id_col, text_col)
-    pa = tp.filter(F.col("term") == term_a).select(
-        "doc_id", F.col("pos").alias("pa")
+    Shape: ONE scan, zero shuffle — the words array is let-bound
+    (tokenized once per row), both terms' position arrays are extracted
+    in-row, and the tf_a·tf_b distance pairs are a nested HOF over those
+    two small arrays. Per-doc work is bounded by the two terms' in-doc
+    frequencies, never corpus-sized.
+
+    ``term_a == term_b`` measures repetition distance: same-position
+    self-pairs are excluded (otherwise every doc containing the term
+    would report min_dist 0), so n_pairs = tf·(tf−1) ordered pairs."""
+    from ktpm___ocr_spark.functions.exprutil import let
+
+    def positions(ws, t):
+        return F.transform(
+            F.filter(
+                F.transform(
+                    ws, lambda w, i: F.struct(i.alias("i"), w.alias("w"))
+                ),
+                lambda s: s["w"] == t,
+            ),
+            lambda s: s["i"].cast("long"),
+        )
+
+    same = term_a == term_b
+    dists = let(
+        words_array(F.col(text_col)),
+        lambda ws: let(
+            F.struct(
+                positions(ws, term_a).alias("pa"),
+                positions(ws, term_b).alias("pb"),
+            ),
+            lambda ab: F.flatten(
+                F.transform(
+                    ab["pa"],
+                    lambda a: F.filter(
+                        F.transform(ab["pb"], lambda b: F.abs(a - b)),
+                        # positions are unique within a doc, so for the
+                        # same-term case dist 0 ⟺ the self-pair
+                        lambda d: F.lit(not same) | (d != 0),
+                    ),
+                )
+            ),
+        ),
     )
-    pb = tp.filter(F.col("term") == term_b).select(
-        "doc_id", F.col("pos").alias("pb")
-    )
-    pairs = pa.join(pb, "doc_id").select(
-        "doc_id", F.abs(F.col("pa") - F.col("pb")).cast("long").alias("dist")
+    # explode(array(…)) = a Generate barrier: three downstream consumers
+    # (min, size, the filter) would otherwise each re-inline the whole
+    # let tree via CollapseProject, re-tokenizing the doc 3×
+    stats_struct = F.explode(
+        F.array(
+            let(
+                dists,
+                lambda d: F.struct(
+                    F.array_min(d).alias("min_dist"),
+                    F.size(d).cast("long").alias("n_pairs"),
+                ),
+            )
+        )
     )
     return (
-        pairs.groupBy("doc_id")
-        .agg(
-            F.min("dist").alias("min_dist"),
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        docs.select(F.col(id_col).alias("doc_id"), stats_struct.alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.min_dist").alias("min_dist"),
+            F.col("r.n_pairs").alias("n_pairs"),
         )
-        .filter(F.col("min_dist") <= max_dist)
+        # empty distance list → array_min NULL → dropped here
+        .filter(F.col("min_dist").isNotNull() & (F.col("min_dist") <= max_dist))
     )

@@ -131,9 +131,12 @@ def hdr_cells(df: DataFrame, value_col: str, unit: int = 100) -> DataFrame:
     """Histogram cells (bl, sub, lb, cnt) for ``floor(value·unit)``.
     ``lb`` is the cell's inclusive integer lower bound (in 1/unit units);
     negative values clamp into the zero cell (documented out of band for
-    latency/size-style metrics, which are non-negative)."""
+    latency/size-style metrics, which are non-negative). NULL values are
+    excluded — ``greatest`` skips nulls, so without the filter a null
+    row would silently count as a 0-valued observation, inflating n and
+    dragging every quantile toward 0."""
     b = HDR_SUBBITS + 1
-    cells = df.select(
+    cells = df.filter(F.col(value_col).isNotNull()).select(
         F.greatest(
             F.floor(F.col(value_col) * unit).cast("long"), F.lit(0).cast("long")
         ).alias("iv")

@@ -180,20 +180,25 @@ def anchor_pairs(text: Column | str) -> Column:
     and anchor-text training data.
 
     Whole ``<a ...>...</a>`` elements are extracted first, then href and
-    body are pulled from each element — so an unclosed tag (or any other
-    malformed anchor) drops only itself, instead of desynchronizing two
-    positionally-zipped href/text lists for every subsequent link in the
-    document. ``(?s)`` lets anchor text span newlines; both patterns are
-    Java-regex/RE2 portable (same lazy-leftmost semantics)."""
+    body are pulled from each element — so malformed markup never emits
+    a corrupted pair and never desynchronizes later links. An unclosed
+    tag swallows up to the next close; that merged element's body then
+    contains a nested opener, and the final filter DROPS it (losing the
+    swallowed neighbor too — the inherent cost of regex extraction — but
+    emitting no raw-markup anchor text into training data and no wrong
+    PageRank edge). ``(?s)`` lets anchor text span newlines; both
+    patterns are Java-regex/RE2 portable (same lazy-leftmost
+    semantics)."""
     t = _col(text)
     elems = F.regexp_extract_all(t, F.lit(ANCHOR_ELEM_RE), 0)
-    return F.transform(
+    pairs = F.transform(
         elems,
         lambda e: F.struct(
             F.regexp_extract(e, ANCHOR_HREF_RE, 1).alias("href"),
             F.regexp_extract(e, ANCHOR_BODY_RE, 1).alias("anchor"),
         ),
     )
+    return F.filter(pairs, lambda p: ~p["anchor"].contains('<a href="'))
 
 
 def url_canonicalize(url: Column | str) -> Column:

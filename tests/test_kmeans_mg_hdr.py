@@ -187,3 +187,15 @@ def test_hdr_zero_and_negative_clamp(spark):
     cells = hdr_cells(vals, "v").collect()
     assert len(cells) == 1
     assert cells[0]["bl"] == 0 and cells[0]["lb"] == 0 and cells[0]["cnt"] == 3
+
+
+def test_hdr_nulls_are_not_observations(spark):
+    """A NULL value must not count as a 0-valued observation (greatest()
+    skips nulls) — it would inflate n and drag quantiles toward 0."""
+    vals = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,)], "v double"
+    )
+    cells = hdr_cells(vals, "v").collect()
+    assert sum(r["cnt"] for r in cells) == 2
+    got = {r["label"]: r["target_rank"] for r in hdr_quantiles(vals, "v").collect()}
+    assert got["p50"] == 1  # n=2, not 4

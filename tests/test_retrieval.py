@@ -102,3 +102,22 @@ def test_proximity_hits_distances(spark):
     got = {r["doc_id"]: (r["min_dist"], r["n_pairs"]) for r in
            proximity_hits(d, "hash", "join", max_dist=5).collect()}
     assert got == {1: (3, 1), 2: (1, 1), 5: (1, 4)}
+
+
+def test_proximity_same_term_measures_repetition(spark):
+    """term_a == term_b is a repetition-distance query: self-pairs are
+    excluded, so a doc with ONE occurrence reports nothing and a doc
+    with two occurrences k apart reports min_dist k."""
+    from ktpm___ocr_spark.functions.retrieval import proximity_hits
+
+    d = spark.createDataFrame(
+        [
+            (1, "echo x x echo"),   # dist 3
+            (2, "echo alone"),      # single occurrence → no pairs
+            (3, "echo echo"),       # dist 1, pairs = 2·1 = 2 ordered
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["min_dist"], r["n_pairs"]) for r in
+           proximity_hits(d, "echo", "echo", max_dist=5).collect()}
+    assert got == {1: (3, 2), 3: (1, 2)}

@@ -366,8 +366,9 @@ def test_anchor_pairs_malformed_and_multiline(spark):
     )
     rows = df.select(anchor_pairs(F.col("text")).alias("p")).collect()
     first = [(r["href"], r["anchor"]) for r in rows[0]["p"]]
-    # the unclosed tag merges with the first close — but /y is unaffected
-    assert ("/y", "bye") in first
-    assert first[-1] == ("/y", "bye")
+    # the unclosed tag merges with /x's close and the merged element is
+    # DROPPED (no corrupted pair, no raw markup in anchor text); /y,
+    # after the merge, is unaffected
+    assert first == [("/y", "bye")]
     second = [(r["href"], r["anchor"]) for r in rows[1]["p"]]
     assert second == [("/nl", "line one\nline two")]
