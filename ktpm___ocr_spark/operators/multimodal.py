@@ -6,13 +6,15 @@ Tesseract OCR ``:50-65``). In the engine, media is an opaque
 ``BinaryType`` column with a typed metadata struct; decode / feature /
 resize / frame-sample stages are Arrow-batched ``mapInPandas`` operators.
 
-This container has no image/audio libraries, so the actual pixel decode is
-STUBBED (clearly marked): ``decode_media`` computes real, deterministic
-metadata from the bytes themselves (length, sha256, a fake WxH derived
-from the content hash) and raises ``NotImplementedError`` if a real
-decoder is requested. The Spark-side plumbing — schema, batch shape,
-partition sizing — is real and tested; swapping the stub for
-PIL/torchaudio is a one-function change.
+This container has no image/audio codec libraries, so COMPRESSED-format
+decode is STUBBED (clearly marked): ``decode_media`` computes real,
+deterministic metadata from the bytes themselves (length, sha256, a fake
+WxH derived from the content hash) and raises ``NotImplementedError`` if
+a real decoder is requested. Uncompressed rasters need no codec, though:
+``decode_ppm_stats`` below is a REAL netpbm P6 pixel decode (numpy
+frombuffer → reshape → channel statistics), driver-verified end-to-end —
+so the binary→pixels→features plumbing is exercised for real, and only
+the JPEG/PNG codec call remains a one-function swap.
 """
 
 from __future__ import annotations
@@ -126,3 +128,98 @@ def media_payload_from_spans(df: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------- REAL pixel decode: netpbm P6 (PPM) ----------------
+#
+# "No image libraries in this container" is true for compressed formats
+# (JPEG/PNG need a codec), but an uncompressed raster needs only numpy:
+# netpbm P6 (https://netpbm.sourceforge.net/doc/ppm.html) is an ASCII
+# header (magic, width, height, maxval) followed by raw RGB bytes. This
+# upgrades P3 from stub-only to real-decode-for-raw-rasters: binary in,
+# pixel array out, per-channel statistics computed from actual pixels —
+# the same mapInPandas plumbing a JPEG decoder would use, exercised for
+# real. Compressed formats remain honestly stubbed (decode_media).
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_ppm_py(payload: bytes):
+    """Parse one P6 image → (width, height, HxWx3 uint8 array).
+    Raises ValueError on malformed input (magic/short payload)."""
+    import numpy as np
+
+    import re
+
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 netpbm payload")
+    # header = magic, width, height, maxval, then exactly ONE whitespace
+    # byte before the raster (netpbm spec) — a bytes.split() would also
+    # consume whitespace-valued PIXEL bytes (\n = 10 is a legal pixel
+    # value), so the raster boundary must come from the header regex,
+    # not tokenization. Comments are out of scope for the deterministic
+    # pipeline.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if m is None:
+        raise ValueError("truncated P6 header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported (8-bit channels)")
+    raster = payload[m.end() : m.end() + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("short raster")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, arr
+
+
+def decode_ppm_stats(
+    df: DataFrame, ref_col: str = "media_ref", bytes_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL decode of P6 payloads → per-image dimensions +
+    exact per-channel integer pixel sums (engine-portable: no floats).
+    Malformed payloads yield a NULL-width row rather than failing the
+    batch (the corrupt-file reality of a web-scale media crawl)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r, p in zip(pdf[ref_col], pdf[bytes_col]):
+                try:
+                    w, h, arr = decode_ppm_py(bytes(p) if p is not None else None)
+                    s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        {
+                            "media_ref": r,
+                            "width": w,
+                            "height": h,
+                            "sum_r": int(s[0]),
+                            "sum_g": int(s[1]),
+                            "sum_b": int(s[2]),
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "media_ref": r,
+                            "width": None,
+                            "height": None,
+                            "sum_r": None,
+                            "sum_g": None,
+                            "sum_b": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PPM_STATS_SCHEMA])
+
+    return df.mapInPandas(process, schema=PPM_STATS_SCHEMA)

@@ -55,3 +55,34 @@ def test_frame_sample_explodes(spark):
     assert [r["frame_ref"] for r in rows] == [
         "v1#frame=0", "v1#frame=1", "v1#frame=2"
     ]
+
+
+def test_ppm_decode_real_pixels(spark):
+    """The P6 decoder reads ACTUAL pixel bytes: a 2x1 image with known
+    RGB values must produce exactly those channel sums."""
+    from ktpm___ocr_spark.operators.multimodal import decode_ppm_py, decode_ppm_stats
+
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, arr = decode_ppm_py(payload)
+    assert (w, h) == (2, 1)
+    assert arr.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+    df = spark.createDataFrame([("img.ppm", payload)], "media_ref string, payload binary")
+    row = decode_ppm_stats(df).first()
+    assert (row["width"], row["height"]) == (2, 1)
+    assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (50, 70, 90)
+
+
+def test_ppm_decode_malformed_yields_null_row(spark):
+    from ktpm___ocr_spark.operators.multimodal import decode_ppm_stats
+
+    df = spark.createDataFrame(
+        [
+            ("bad-magic.ppm", b"JFIF....not a ppm"),
+            ("short.ppm", b"P6\n4 4\n255\nxy"),
+            ("null.ppm", None),
+        ],
+        "media_ref string, payload binary",
+    )
+    rows = {r["media_ref"]: r["width"] for r in decode_ppm_stats(df).collect()}
+    assert rows == {"bad-magic.ppm": None, "short.ppm": None, "null.ppm": None}
