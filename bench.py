@@ -212,6 +212,7 @@ def operator_bench(spark) -> dict[str, float]:
         "hdr_quantiles",
         "inverted_index_terms",
         "bm25_topk_docs",
+        "proximity_hits_docs",
     ]
     out: dict[str, float] = {}
     for name in headline:
