@@ -2169,8 +2169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def inverted_index_q(spark, sf):
         """Positional inverted index over the corpus vocabulary with
-        min-df / stopword-ratio gates — term-keyed one-pass build
-        (retrieval.py); postings as the canonical doc:positions string."""
+        min-df / stopword-ratio gates — two-phase skew-gated build over a
+        persisted (term, doc) relation (retrieval.py); postings as the
+        canonical doc:positions string."""
         from ktpm___ocr_spark.functions.retrieval import inverted_index
 
         # gates tuned to the synthetic 31-term vocabulary: most terms
@@ -2272,7 +2273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(".ppm"),
             ).alias("media_ref"),
             F.regexp_replace(F.col("text"), r"[^\x21-\x7e]", "?").alias("_s"),
-        )
+        ).filter(F.length("_s") > 0)  # empty/NULL text can't tile a raster —
+        # filtered IDENTICALLY in the oracle (r4 ADVICE: with length 0 the
+        # two engines disagree on the shape of the degenerate row)
         raster = F.expr(
             "substring(repeat(_s, cast(ceil(384.0 / length(_s)) as int)), 1, 384)"
         )
@@ -2547,9 +2550,9 @@ def oracle_sql() -> dict[str, str]:
         "event_type) AS total FROM h) "
         "SELECT event_type, "
         "round(min(CASE WHEN cum >= ceil(0.5 * total) THEN 0.0 + (bin + 1) "
-        "* 0.5 END), 6) AS p50_est, "
+        "* CAST(0.5 AS DOUBLE) END), 6) AS p50_est, "
         "round(min(CASE WHEN cum >= ceil(0.95 * total) THEN 0.0 + (bin + 1) "
-        "* 0.5 END), 6) AS p95_est, "
+        "* CAST(0.5 AS DOUBLE) END), 6) AS p95_est, "
         "CAST(max(total) AS BIGINT) AS n FROM cum GROUP BY 1"
     )
     o["salted_user_value"] = (
@@ -3156,9 +3159,10 @@ WHERE rn <= 5
         "i -> ascii(substring(raster, CAST(i AS INT), 1)))) AS BIGINT)"
     )
     o["multimodal_ppm_decode"] = (
-        "WITH s AS (SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.ppm' "
+        "WITH s0 AS (SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.ppm' "
         "AS media_ref, regexp_replace(text, '[^\\x21-\\x7e]', '?', 'g') AS _s "
         "FROM documents), "
+        "s AS (SELECT * FROM s0 WHERE length(_s) > 0), "
         "r AS (SELECT media_ref, substring(repeat(_s, "
         "CAST(ceil(384.0 / length(_s)) AS INT)), 1, 384) AS raster FROM s) "
         "SELECT media_ref, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) "
@@ -3517,9 +3521,12 @@ WHERE rn <= 5
 
     # fixed-point PageRank, 3 unrolled iterations — pure BIGINT arithmetic
     # (// == Spark's div on positive values), so both engines are
-    # bit-identical regardless of summation order
+    # bit-identical regardless of summation order.  DuckDB sum(BIGINT)
+    # returns HUGEINT (→ pandas float64, hash break), so the inflow sum is
+    # cast back to BIGINT — the values fit trivially (rank_fp ≤ 1e9·scale).
     _pr_iter = (
-        "i{k} AS (SELECT e.dst AS node, sum(r{j}.rank_fp // deg.d) AS inflow "
+        "i{k} AS (SELECT e.dst AS node, "
+        "CAST(sum(r{j}.rank_fp // deg.d) AS BIGINT) AS inflow "
         "FROM e JOIN deg USING (src) JOIN r{j} ON r{j}.node = e.src GROUP BY 1), "
         "r{k} AS (SELECT nodes.node, CAST(15000000000 AS BIGINT) // (100 * nn.n) "
         "+ (85 * coalesce(i{k}.inflow, CAST(0 AS BIGINT))) // 100 AS rank_fp "

@@ -68,7 +68,15 @@ def inverted_index(
     ONLY for surviving terms via a broadcast semi-join. A single-pass
     formulation would funnel a stopword's N postings structs into one
     collect_list buffer and materialize a corpus-sized string on one
-    task *before* the filter could discard it."""
+    task *before* the filter could discard it.
+
+    ``per_doc`` is consumed by BOTH phases, so it is persisted across
+    them (r4 ADVICE: without the persist the explode + tokenize +
+    (term, doc) shuffle — the dominant cost at the 100 TB design point —
+    runs twice). Same persist hygiene as ``dedup.minhash_near_dups``:
+    the index (vocabulary-sized, the relation a deployment would write
+    to parquet anyway) is eagerly materialized, then the fat
+    intermediate is released before returning."""
     n_docs_row = docs.select(F.count(F.lit(1)).alias("_n"))
     per_doc = (
         _term_positions(docs, id_col, text_col)
@@ -79,36 +87,42 @@ def inverted_index(
                 F.sort_array(F.collect_list(F.col("pos").cast("long"))), " "
             ).alias("plist"),
         )
-    )
-    survivors = (
-        per_doc.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("cf"),
+    ).persist()
+    try:
+        survivors = (
+            per_doc.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .crossJoin(F.broadcast(n_docs_row))
+            .filter(
+                (F.col("df") >= min_df)
+                & (F.col("df") <= F.col("_n") * max_df_ratio)
+            )
+            .select("term", "df", "cf")
         )
-        .crossJoin(F.broadcast(n_docs_row))
-        .filter(
-            (F.col("df") >= min_df)
-            & (F.col("df") <= F.col("_n") * max_df_ratio)
-        )
-        .select("term", "df", "cf")
-    )
-    postings = (
-        per_doc.join(F.broadcast(survivors.select("term")), "term")
-        .groupBy("term")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("doc_id", "plist"))),
-                    lambda s: F.concat(
-                        s["doc_id"].cast("string"), F.lit(":"), s["plist"]
+        postings = (
+            per_doc.join(F.broadcast(survivors.select("term")), "term")
+            .groupBy("term")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("doc_id", "plist"))),
+                        lambda s: F.concat(
+                            s["doc_id"].cast("string"), F.lit(":"), s["plist"]
+                        ),
                     ),
-                ),
-                ",",
-            ).alias("postings")
+                    ",",
+                ).alias("postings")
+            )
         )
-    )
-    return survivors.join(postings, "term").select("term", "df", "cf", "postings")
+        out = survivors.join(postings, "term").select(
+            "term", "df", "cf", "postings"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        per_doc.unpersist()
 
 
 def bm25_topk(

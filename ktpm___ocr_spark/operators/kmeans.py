@@ -116,6 +116,26 @@ def _assign(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     return vecs.mapInPandas(kernel, schema=schema + ", cluster_id bigint")
 
 
+def _centroid_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd centroid refinement: (cluster, dim)-keyed mean with
+    truncating integer division. Map-side combinable — the shuffle
+    carries partial (sum, count) pairs bounded by k·dim·partitions rows,
+    never |corpus|·dim (``test_plans.test_kmeans_update_aggregate_is_
+    partial`` pins the two-HashAggregate shape)."""
+    return (
+        assigned.select("cluster_id", F.posexplode("_q").alias("dim", "x"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.expr("sum(x) div count(*)").alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
 def kmeans_fp(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -153,19 +173,7 @@ def kmeans_fp(
         )
 
     for _ in range(iters):
-        assigned = _assign(vecs, cents)
-        refined = (
-            assigned.select("cluster_id", F.posexplode("_q").alias("dim", "x"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.expr("sum(x) div count(*)").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-        )
+        refined = _centroid_update(_assign(vecs, cents))
         new = {
             r["cluster_id"]: list(r["centroid"]) for r in refined.collect()
         }

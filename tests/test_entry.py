@@ -33,18 +33,29 @@ def _duck(sf_dir: str):
 
 
 def _norm(v):
+    # Numeric values carry a kind tag: the driver hashes pandas frames, so
+    # an int64 Spark column vs a float64 oracle column is a red row even
+    # when every value compares equal (r4: graph_pagerank, where DuckDB's
+    # HUGEINT sum came back as float64).  Python `==` treats
+    # 83357142 == 83357142.0 as equal — the tag restores the distinction.
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
     if isinstance(v, datetime.datetime):
         # Keep tzinfo: a tz-aware oracle value (DuckDB TIMESTAMPTZ) vs a
         # naive Spark TimestampType is EXACTLY the divergence the real
         # driver red-flags (r3: s7_history_items) — stripping it here made
         # the local gate blind to it.
         return v.isoformat()
-    if isinstance(v, Decimal := __import__("decimal").Decimal):
-        return float(v)
+    if isinstance(v, __import__("decimal").Decimal):
+        # Distinct kind on purpose: a Decimal on one side vs a float on the
+        # other renders as object-vs-float64 dtype at the driver.
+        return ("dec", float(v))
     return v
 
 
@@ -100,6 +111,24 @@ def test_query_matches_oracle(spark, name):
         f"{name}: {len(mism)} rows differ; first at {mism[0]}:\n"
         f"spark={s_ms[mism[0]]}\nduck ={d_ms[mism[0]]}"
     )
+
+
+def test_oracle_result_types_are_portable():
+    """Type sweep (r4 verdict task 2): DuckDB result types that pandas
+    renders as a different dtype family than the matching Spark column are
+    banned from every oracle — HUGEINT/UHUGEINT (sum(BIGINT) escapes →
+    float64), TIMESTAMP WITH TIME ZONE (session-TZ-dependent rendering),
+    and DECIMAL (object dtype vs Spark double).  `DESCRIBE <query>` binds
+    without executing, so this is a cheap whole-registry sweep."""
+    con = _duck(SF_DIR)
+    banned = ("HUGEINT", "UHUGEINT", "TIME ZONE", "DECIMAL", "TIMESTAMPTZ")
+    bad = []
+    for name, sql in sorted(ORACLES.items()):
+        for row in con.execute(f"DESCRIBE {sql}").fetchall():
+            col, typ = row[0], row[1]
+            if any(b in typ.upper() for b in banned):
+                bad.append((name, col, typ))
+    assert not bad, f"non-portable oracle result types: {bad}"
 
 
 def test_entry_smoke(spark):

@@ -7,6 +7,7 @@ import hashlib
 import pytest
 
 from ktpm___ocr_spark.corpus import generate_df
+from ktpm___ocr_spark.operators import multimodal
 from ktpm___ocr_spark.operators.multimodal import (
     decode_media,
     frame_sample_refs,
@@ -31,10 +32,48 @@ def test_decode_media_stub_deterministic(spark):
     assert got == again
 
 
-def test_real_decoder_is_explicitly_stubbed(spark):
-    df = spark.createDataFrame([("a", b"x")], "media_ref string, payload binary")
-    with pytest.raises(NotImplementedError):
-        decode_media(df, real_decoder=True)
+def test_real_decoder_p6_fallback_decodes_without_pil(spark):
+    """real_decoder=True must work codec-free for netpbm P6 payloads —
+    the container fallback of the self-healing probe."""
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    df = spark.createDataFrame(
+        [("img.ppm", payload)], "media_ref string, payload binary"
+    )
+    row = decode_media(df, real_decoder=True).first()
+    assert (row["width"], row["height"]) == (2, 1)
+    assert row["n_bytes"] == len(payload)
+    if multimodal.PIL_IMAGE is None:
+        assert row["format"] == "ppm"
+
+
+@pytest.mark.skipif(
+    multimodal.PIL_IMAGE is not None, reason="Pillow present — no stub path"
+)
+def test_real_decoder_compressed_raises_without_pil(spark):
+    df = spark.createDataFrame(
+        [("a.jpg", b"\xff\xd8\xff\xe0 not decodable here")],
+        "media_ref string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|PIL"):
+        decode_media(df, real_decoder=True).collect()
+
+
+@pytest.mark.skipif(
+    multimodal.PIL_IMAGE is None, reason="Pillow absent in this container"
+)
+def test_real_decoder_uses_pil_when_available(spark):
+    """Self-healing path: on a host with Pillow the real decoder reads
+    true dimensions from a compressed codec (PNG here)."""
+    import io
+
+    img = multimodal.PIL_IMAGE.new("RGB", (5, 3))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("t.png", buf.getvalue())], "media_ref string, payload binary"
+    )
+    row = decode_media(df, real_decoder=True).first()
+    assert (row["width"], row["height"], row["format"]) == (5, 3, "png")
 
 
 def test_media_extraction_from_corpus(spark):

@@ -166,13 +166,36 @@ def test_bm25_broadcasts_query_and_stats_no_cartesian(spark, sf01_dir):
 def test_kmeans_update_aggregate_is_partial(spark, sf01_dir):
     """The centroid update must map-side combine: two HashAggregates
     around the (cluster, dim)-keyed exchange, so the shuffle carries at
-    most k·dim·partitions rows, not |corpus|·dim."""
-    from ktpm___ocr_spark.operators.kmeans import kmeans_fp
+    most k·dim·partitions rows, not |corpus|·dim.  Asserted on the REAL
+    update relation (_centroid_update — r4 ADVICE: the old body only
+    checked the assignment for CartesianProduct)."""
+    from ktpm___ocr_spark.operators.kmeans import (
+        _assign,
+        _centroid_update,
+        kmeans_fp,
+        quantize_vec,
+    )
+    from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id"), quantize_vec(F.col("embedding")).alias("_q")
+    )
+    seeds = [
+        (i, list(r["_q"]))
+        for i, r in enumerate(vecs.orderBy("vec_id").limit(4).collect())
+    ]
+    plan = _plan(_centroid_update(_assign(vecs, seeds)))
+    # partial (sum, count) before the (cluster, dim) exchange, final
+    # after — plus the collect_list re-agg: ≥3 HashAggregates total, and
+    # one must sit below (after, in EXPLAIN order) the first Exchange
+    assert plan.count("HashAggregate") >= 3, plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "HashAggregate" in plan[:first_exchange], plan
+    # and the end-to-end operator never degrades to a cartesian product
     centroids, assignment = kmeans_fp(emb, k=4, iters=1)
-    plan = _plan(assignment)
-    assert "CartesianProduct" not in plan, plan
+    assert "CartesianProduct" not in _plan(assignment)
 
 
 def test_mg_recount_join_is_broadcast(spark, sf01_dir):
