@@ -2288,6 +2288,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_ppm_decode"] = ppm_decode_q
 
+    def incremental_dedup_q(spark, sf):
+        """Cross-snapshot incremental dedup (r5) — the realistic 100 TB
+        pattern: a new crawl increment deduped against the existing
+        corpus WITHOUT re-banding it. The corpus is hash-split 80/20 into
+        'existing' and 'increment' by the portable sha256 bucket rule
+        (same as deterministic_split, so the oracle reproduces membership
+        bit-for-bit), and the increment is augmented with PLANTED exact
+        copies of selected old docs under fresh ids (base + 10M/20M):
+        each plant must surface as a new_old pair (and the two plants of
+        the same base as a new_new pair) at jaccard 1.0 — proving the
+        band-table probe catches cross-increment dups. Spark pays only
+        the incremental cost (dedup.incremental_near_dups: band the
+        increment, probe the old band relation); the oracle is the
+        equivalent full-corpus pair set restricted to pairs touching the
+        increment."""
+        base = _t(spark, sf, "documents").select("doc_id", "text")
+        bucket = F.pmod(
+            textstats.word_hash(F.col("doc_id").cast("string")), F.lit(100)
+        )
+        old = base.filter(bucket < 80)
+        new = base.filter(bucket >= 80)
+        seed = old.filter(F.col("doc_id") % 1000 == 0)
+        plants = seed.select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        ).unionByName(
+            seed.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
+        )
+        old_bands = dd.lsh_bands(old, "doc_id", "text")
+        return dd.incremental_near_dups(
+            old_bands, old, new.unionByName(plants), threshold=0.4
+        )
+
+    q["incremental_dedup_pairs"] = incremental_dedup_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2791,6 +2825,34 @@ def oracle_sql() -> dict[str, str]:
     _cc_ctes = f"{_mh_ctes}, {_cc_tail}"
     o["dedup_clusters"] = (
         f"WITH RECURSIVE {_cc_ctes} SELECT doc_id, cluster_id FROM comp"
+    )
+    # incremental cross-snapshot dedup: the oracle is the FULL-corpus pair
+    # set over the augmented corpus (documents + planted exact copies of
+    # the seed docs under fresh ids) restricted to pairs touching the
+    # increment — provably equal to what the Spark side computes by
+    # banding ONLY the increment and probing the old band table.
+    _old_seed = (
+        "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS "
+        "BIGINT) % 100 < 80 AND doc_id % 1000 = 0"
+    )
+    _is_new = (
+        "(doc_id >= 10000000 OR CAST(('0x' || substr(sha256(CAST(doc_id AS "
+        "VARCHAR)), 1, 15)) AS BIGINT) % 100 >= 80)"
+    )
+    o["incremental_dedup_pairs"] = (
+        "WITH aug AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+        f"WHERE {_old_seed} "
+        "UNION ALL SELECT doc_id + 20000000 AS doc_id, text FROM documents "
+        f"WHERE {_old_seed}), "
+        f"{_mh_ctes_for('aug')}, "
+        f"p0 AS ({_mh_pairs_sel}), "
+        f"mem AS (SELECT doc_id, {_is_new} AS is_new FROM aug) "
+        "SELECT p0.id_a, p0.id_b, CASE WHEN ma.is_new AND mb.is_new THEN "
+        "'new_new' ELSE 'new_old' END AS pair_kind, p0.jaccard "
+        "FROM p0 JOIN mem ma ON p0.id_a = ma.doc_id "
+        "JOIN mem mb ON p0.id_b = mb.doc_id "
+        "WHERE ma.is_new OR mb.is_new"
     )
     # capstone: gate → near-dup clusters → canonical keep → split → stats,
     # composed from the same CTE fragments the stage oracles use

@@ -158,3 +158,42 @@ def test_connected_components_100_node_chain_converges_logarithmically(spark):
     would need ~99 rounds."""
     got = _cc(spark, [(i, i + 1) for i in range(1, 100)])
     assert got == {i: 1 for i in range(1, 101)}
+
+
+def test_incremental_near_dups_probes_persisted_band_table(spark, tmp_path, docs):
+    """The production cross-snapshot path: the old corpus's bands are
+    built ONCE, written to parquet, and a later increment probes the
+    READ-BACK table — a planted copy of an old doc must surface as a
+    new_old pair, and two planted copies of each other as new_new,
+    without recomputing any old-side signatures."""
+    from ktpm___ocr_spark.operators.dedup import incremental_near_dups, lsh_bands
+
+    old = docs  # ids 1..6
+    band_path = str(tmp_path / "bands.parquet")
+    lsh_bands(old, "id", "text").write.parquet(band_path)
+    old_bands = spark.read.parquet(band_path)
+
+    base = old.filter("id = 1").first()["text"]
+    new = spark.createDataFrame(
+        [
+            (101, base),  # planted exact copy of old doc 1
+            (102, base),  # second plant → new_new with 101
+            (103, "unrelated increment content nothing like the corpus"),
+        ],
+        "id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["pair_kind"], r["jaccard"])
+        for r in incremental_near_dups(
+            old_bands, old.select("id", "text"), new, id_col="id",
+            text_col="text", threshold=0.6,
+        ).collect()
+    }
+    assert got[(1, 101)] == ("new_old", 1.0)
+    assert got[(2, 101)] == ("new_old", 1.0)  # old exact-dup of 1 too
+    assert got[(101, 102)] == ("new_new", 1.0)
+    # the near-dup of doc 1 (doc 3) collides in some band as well
+    assert got[(3, 101)][0] == "new_old"
+    # nothing pairs with the unrelated doc; no old_old pairs ever emitted
+    assert all(101 in p or 102 in p for p in got)
+    assert all(k in ("new_old", "new_new") for k, _ in got.values())
