@@ -2322,6 +2322,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_dedup_pairs"] = incremental_dedup_q
 
+    def line_dedup_q(spark, sf):
+        """C4-style boilerplate line removal (r5): the corpus has no
+        native newlines, so each doc gets a deterministic 4-line body —
+        a per-source section header (shared across the source's docs →
+        dropped when the source has >2 docs), the doc's own text
+        (unique → kept), a corpus-wide copyright footer (dropped
+        everywhere), and a per-doc ref line (kept). Lines in more than 2
+        distinct docs are removed; survivors re-join in order
+        (dedup.boilerplate_line_filter)."""
+        d = _t(spark, sf, "documents")
+        body = F.concat_ws(
+            "\n",
+            F.concat(F.lit("section "), F.col("source")),
+            F.col("text"),
+            F.lit("copyright footer boilerplate"),
+            F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+        )
+        return dd.boilerplate_line_filter(
+            d.select("doc_id", body.alias("text")), max_line_df=2
+        )
+
+    q["line_dedup_clean"] = line_dedup_q
+
+    def dup_passages_q(spark, sf):
+        """Repeated-passage detection (r5): every 8-token window
+        occurring in ≥2 distinct docs (the n-gram-granular form of exact
+        substring dedup) — the corpus's planted near-dups yield ~1k
+        naturally repeated passages at sf0.01, no synthesis needed."""
+        return dd.duplicate_passages(
+            _t(spark, sf, "documents"), n=8, min_docs=2
+        )
+
+    q["dup_passages"] = dup_passages_q
+
+    def politeness_q(spark, sf):
+        """Per-host politeness fetch schedule (r5) over the crawl_budget
+        allocation: fetch i of host h at i·5 s, hosts sticky-hashed to 16
+        workers so per-host rate limiting needs no cross-worker
+        coordination (textstats.politeness_schedule)."""
+        return textstats.politeness_schedule(
+            q["crawl_budget"](spark, sf), delay_s=5, workers=16
+        )
+
+    q["politeness_schedule"] = politeness_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3752,6 +3797,58 @@ WHERE rn <= 5
         "SELECT domain, n, CAST(CASE WHEN _tot > 0 THEN "
         "least(CAST(500 AS BIGINT), CAST(10000 AS BIGINT) * n // _tot) "
         "ELSE 0 END AS BIGINT) AS alloc FROM c, t"
+    )
+
+    # politeness schedule: the crawl_budget oracle composed as a nested
+    # CTE, exploded by generate_series; worker = portable sha256 bucket
+    o["politeness_schedule"] = (
+        f"WITH cb AS ({o['crawl_budget']}) "
+        "SELECT domain, CAST(t.i AS BIGINT) AS fetch_idx, "
+        "CAST(t.i * 5 AS BIGINT) AS scheduled_at_s, "
+        "CAST(CAST(('0x' || substr(sha256(domain), 1, 15)) AS BIGINT) % 16 "
+        "AS BIGINT) AS worker "
+        "FROM cb, unnest(generate_series(0, alloc - 1)) AS t(i) "
+        "WHERE alloc > 0"
+    )
+
+    # C4-style line dedup over the synthesized 4-line body (concat_ws
+    # skips NULL elements in BOTH engines); DuckDB's 1-based lambda index
+    # vs Spark's 0-based posexplode is harmless — pos only orders the
+    # re-stitch within a doc and never reaches the output
+    _line_body = (
+        "concat_ws(chr(10), 'section ' || source, text, "
+        "'copyright footer boilerplate', 'ref ' || CAST(doc_id AS VARCHAR))"
+    )
+    o["line_dedup_clean"] = (
+        f"WITH b AS (SELECT doc_id, {_line_body} AS body FROM documents), "
+        "l AS (SELECT doc_id, t.pos AS pos, t.line AS line FROM (SELECT "
+        "doc_id, unnest(list_transform(string_split(body, chr(10)), (x, i) -> "
+        "struct_pack(pos := i, line := x))) AS t FROM b)), "
+        "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d "
+        "FROM l GROUP BY 1) WHERE d > 2), "
+        "kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)), "
+        "agg AS (SELECT doc_id, array_to_string(list_transform(list_sort("
+        "list(struct_pack(pos := pos, line := line))), s -> s.line), chr(10)) "
+        "AS clean_text, count(*) AS n_kept FROM kept GROUP BY 1), "
+        "spine AS (SELECT doc_id, len(string_split(body, chr(10))) AS nl "
+        "FROM b) "
+        "SELECT s.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+        "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+        "CAST(s.nl - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped "
+        "FROM spine s LEFT JOIN agg a ON s.doc_id = a.doc_id"
+    )
+
+    # repeated 8-token passages across ≥2 docs; sum(tf) cast back to
+    # BIGINT (DuckDB sum(BIGINT) → HUGEINT, the graph_pagerank lesson)
+    o["dup_passages"] = (
+        f"WITH w AS (SELECT doc_id, {_words} AS ws FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+        "len(ws) - 7), i -> array_to_string(ws[i:i+7], ' '))) AS passage "
+        "FROM w WHERE len(ws) >= 8), "
+        "pd AS (SELECT passage, doc_id, count(*) AS tf FROM g GROUP BY 1, 2) "
+        "SELECT passage, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(tf) AS BIGINT) AS n_occ FROM pd GROUP BY 1 "
+        "HAVING count(*) >= 2"
     )
 
     # sliding token windows: integer last-index arithmetic and 1-based

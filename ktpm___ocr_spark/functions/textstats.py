@@ -287,6 +287,45 @@ def crawl_budget(
     )
 
 
+def politeness_schedule(
+    alloc_df,
+    host_col: str = "domain",
+    alloc_col: str = "alloc",
+    delay_s: int = 5,
+    workers: int = 16,
+):
+    """Per-host politeness fetch schedule over a :func:`crawl_budget`
+    allocation table: host *h*'s *i*-th fetch is scheduled at
+    ``i · delay_s`` seconds (two fetches to the same host are never
+    closer than the politeness interval), and each host is STICKY-mapped
+    to a fetch worker by the portable id hash — per-host rate limiting
+    then needs no cross-worker coordination, the property that lets a
+    1000-executor fetch fleet stay polite without a shared limiter.
+
+    Output: ``(host, fetch_idx, scheduled_at_s, worker)``. The explode
+    factor is bounded by the crawl_budget ``cap`` (≤500), so the row
+    blow-up is a constant, never corpus-shaped; everything is JVM column
+    expressions (sequence + posexplode), zero Python.
+    """
+    w = F.pmod(word_hash(F.col(host_col).cast("string")), F.lit(workers))
+    return (
+        alloc_df.filter(F.col(alloc_col) > 0)
+        .select(
+            F.col(host_col),
+            w.alias("worker"),
+            F.posexplode(
+                F.sequence(F.lit(0).cast("long"), F.col(alloc_col) - 1)
+            ).alias("fetch_idx", "_s"),
+        )
+        .select(
+            host_col,
+            F.col("fetch_idx").cast("long").alias("fetch_idx"),
+            (F.col("fetch_idx").cast("long") * delay_s).alias("scheduled_at_s"),
+            F.col("worker").cast("long").alias("worker"),
+        )
+    )
+
+
 def repetition_metrics(
     df, id_col: str = "doc_id", text_col: str = "text"
 ):

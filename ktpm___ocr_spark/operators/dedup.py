@@ -284,6 +284,117 @@ def minhash_near_dups(
         b.unpersist()
 
 
+def boilerplate_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 2,
+) -> DataFrame:
+    """C4-style corpus-frequency line dedup (Raffel et al. 2020 §2.2:
+    discard lines that recur across the corpus — cookie banners,
+    navigation, copyright footers): any line occurring in more than
+    ``max_line_df`` DISTINCT documents is boilerplate and is removed
+    from every document; surviving lines are re-joined in original
+    order.
+
+    Output: ``(id, clean_text, n_kept, n_dropped)`` — one row per input
+    doc (docs whose every line was boilerplate keep an empty
+    ``clean_text``).
+
+    Scale shape: the line-frequency count is a map-combinable aggregate
+    (hot boilerplate lines are exactly the partial-agg win); the removal
+    is a LEFT ANTI join against the *hot-line* relation — small (only
+    lines with df > threshold), never the corpus-sized kept set. The
+    per-doc re-stitch groups by doc id, so mega-docs are the skew bound
+    (the AQE-split story shared with the extraction pipeline)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    spine = df.select(
+        F.col(id_col),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).cast("long").alias("_n_lines"),
+    )
+    return spine.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-passage detection (the n-gram-granular form of Lee et
+    al. 2022's exact substring dedup): every n-token window occurring in
+    at least ``min_docs`` distinct documents, with how many docs and how
+    many total occurrences. The survivors are the candidate passages an
+    exact-substring deduper would then excise.
+
+    Docs shorter than ``n`` tokens contribute no windows (whole-short-doc
+    duplication is the exact/minhash dedup family's job).
+
+    Scale shape: one (passage, doc) shuffle for per-doc counts and one
+    passage-keyed count — both map-side combinable; NO posting lists or
+    strings are materialized for non-repeated passages (the overwhelming
+    majority), so the output is bounded by the repeated-passage set."""
+    ws = words_array(F.col(text_col))
+    grams = F.when(
+        F.size(ws) >= n,
+        let(
+            ws,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(w, (i + j).cast("int")) for j in range(n)],
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("passage"))
+        .groupBy("passage", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def incremental_near_dups(
     old_bands: DataFrame,
     old_texts: DataFrame,

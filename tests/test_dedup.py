@@ -197,3 +197,69 @@ def test_incremental_near_dups_probes_persisted_band_table(spark, tmp_path, docs
     # nothing pairs with the unrelated doc; no old_old pairs ever emitted
     assert all(101 in p or 102 in p for p in got)
     assert all(k in ("new_old", "new_new") for k, _ in got.values())
+
+
+def test_boilerplate_line_filter_c4(spark):
+    """Lines in >2 distinct docs are removed everywhere; survivors keep
+    their original order; all-boilerplate docs stay as empty rows."""
+    from ktpm___ocr_spark.operators.dedup import boilerplate_line_filter
+
+    footer = "(c) example corp"
+    rows = [
+        (1, f"alpha one\n{footer}\nunique tail 1"),
+        (2, f"{footer}\nbeta two"),
+        (3, f"gamma three\n{footer}"),
+        (4, footer),            # only the boilerplate line
+        (5, None),              # NULL text → one empty line
+        (6, ""),                # empty text → one empty line
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_line_filter(df, max_line_df=2).collect()
+    }
+    assert len(got) == 6  # every doc survives as a row
+    assert got[1]["clean_text"] == "alpha one\nunique tail 1"
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (2, 1)
+    assert got[2]["clean_text"] == "beta two"
+    assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
+    # the two ''-line docs (5, 6) don't cross max_line_df=2 → kept
+    assert got[5]["clean_text"] == "" and got[5]["n_kept"] == 1
+
+
+def test_boilerplate_line_filter_empty_line_crosses_threshold(spark):
+    """Three docs sharing an empty line → the empty line itself is
+    boilerplate and is dropped from all of them."""
+    from ktpm___ocr_spark.operators.dedup import boilerplate_line_filter
+
+    df = spark.createDataFrame(
+        [(i, f"head {i}\n\ntail {i}") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_line_filter(df, max_line_df=2).collect()}
+    assert got[0]["clean_text"] == "head 0\ntail 0"
+    assert got[0]["n_dropped"] == 1
+
+
+def test_duplicate_passages_window_counts(spark):
+    """An 8-token passage shared by two docs is found with exact doc and
+    occurrence counts; sub-window passages of the shared run also count;
+    docs shorter than n produce nothing."""
+    from ktpm___ocr_spark.operators.dedup import duplicate_passages
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"prefix {shared}"),
+            (3, "short doc"),
+            (4, f"{shared} {shared}"),  # passage twice in one doc
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["passage"]: (r["n_docs"], r["n_occ"])
+        for r in duplicate_passages(df, n=8, min_docs=2).collect()
+    }
+    assert got[shared] == (3, 4)  # docs 1, 2, 4 (twice in 4)
+    assert all(nd >= 2 for nd, _ in got.values())

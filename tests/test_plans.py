@@ -218,3 +218,40 @@ def test_hdr_cells_aggregate_is_partial(spark, sf01_dir):
     assert plan.count("HashAggregate") >= 2, plan
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[first_exchange:], plan
+
+
+def test_line_filter_is_anti_join_with_partial_counts(spark, sf01_dir):
+    """Boilerplate removal joins against the small HOT-line relation
+    (left anti), never the corpus-sized kept set, and the line-frequency
+    count partially aggregates before its exchange."""
+    df = em.queries()["line_dedup_clean"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+
+
+def test_dup_passages_aggregates_are_partial(spark, sf01_dir):
+    """Both the (passage, doc) and the passage-keyed counts must
+    map-side combine — the shuffle carries partial counts, not one row
+    per n-gram occurrence."""
+    df = em.queries()["dup_passages"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 3, plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "HashAggregate" in plan[:first_exchange], plan
+
+
+def test_politeness_schedule_no_shuffle_beyond_budget(spark, sf01_dir):
+    """The schedule explode adds NO exchange on top of crawl_budget's
+    aggregate — sequence+posexplode are narrow."""
+    budget_plan = _plan(em.queries()["crawl_budget"](spark, sf01_dir))
+    sched_plan = _plan(em.queries()["politeness_schedule"](spark, sf01_dir))
+    assert sched_plan.count("Exchange") <= budget_plan.count("Exchange"), (
+        budget_plan,
+        sched_plan,
+    )

@@ -372,3 +372,23 @@ def test_anchor_pairs_malformed_and_multiline(spark):
     assert first == [("/y", "bye")]
     second = [(r["href"], r["anchor"]) for r in rows[1]["p"]]
     assert second == [("/nl", "line one\nline two")]
+
+
+def test_politeness_schedule_spacing_and_sticky_workers(spark):
+    """Per-host fetches are delay_s apart; a host's every fetch lands on
+    ONE worker; zero-alloc hosts emit nothing."""
+    from ktpm___ocr_spark.functions.textstats import politeness_schedule
+
+    alloc = spark.createDataFrame(
+        [("a.com", 100, 3), ("b.org", 50, 1), ("c.net", 0, 0)],
+        "domain string, n long, alloc long",
+    )
+    rows = politeness_schedule(alloc, delay_s=5, workers=4).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["domain"], []).append(r)
+    assert set(by_host) == {"a.com", "b.org"}
+    a = sorted(by_host["a.com"], key=lambda r: r["fetch_idx"])
+    assert [r["scheduled_at_s"] for r in a] == [0, 5, 10]
+    assert len({r["worker"] for r in a}) == 1  # sticky host→worker
+    assert all(0 <= r["worker"] < 4 for r in rows)
