@@ -2380,69 +2380,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 window, recomputed from CORRECTNESS_r01-r03: the 14 round-3
-# additions no driver round has ever checked, the 4 former-red rows fixed
-# this round (s7 naive-timestamp oracle; s4/s5 payload-in-container
-# oracles; new standalone c4), the 21 entries last checked in r1 (two
-# rounds stale), and stable anchors covering every module whose code
-# changed this round (render, windows/history, textstats anchor+URL fixes,
-# heavyhitters left-join fix, metrics flock).
+# Round-5 window, rotated by STALENESS OF EVIDENCE (r4 verdict task 4),
+# not round number: (a) graph_pagerank immediately after its oracle fix,
+# (b) the four round-5 additions (checked the round they land), (c) every
+# entry whose code or oracle changed in round 5 after its last green
+# (a5_percentiles_binned oracle DECIMAL cast; multimodal decode_media
+# self-healing probe -> ppm/stub entries; inverted_index persist; kmeans
+# _centroid_update refactor), (d) 29 of the 38 entries last checked in r2
+# (the 8 deferred are the ✓1✓2 double-green trivial P-family scalar
+# projections, re-gated locally every round), and (e) 11 stable anchors.
 _DRIVER_WINDOW = [
-    # -- former reds, made green-able this round --
-    "s7_history_items",
-    "s4_pdf_sink",
-    "s5_docx_sink",
-    "c4_docx_lines",
-    # -- round-3 additions, never driver-checked --
-    "source_orc_agg",
-    "cm_heavy_hitters",
+    # -- (a) red row fixed this round --
     "graph_pagerank",
-    "corpus_drift_bins",
-    "corpus_drift_l1",
-    "dedup_containment_pairs",
-    "bloom_dedup_probe",
-    "j_cache_refresh",
-    "url_canonical",
-    "crawl_budget",
-    "pack_token_windows",
-    "pack_samples_bins",
-    "extract_anchor_links",
-    "vocab_prune_stats",
-    # -- last checked in r1 (two rounds stale) --
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "emb_neardup_pairs",
-    "multimodal_stub",
-    "tpch_q1",
-    "tpch_q3_top_orders",
-    "s2_mime_filter",
-    "s3_base64_roundtrip",
-    "a2_metric_counters",
-    "a3_user_usage",
-    "w5_throttle_delay",
-    "asof_join_clicks",
-    "range_join_events",
-    "cube_orders",
-    "pivot_status",
-    "set_ops_nations",
-    "sessionize",
-    "emb_centroids",
-    "top_parts_by_qty",
-    # -- anchors: r3-green canaries for modules touched this round --
-    "extract_pipeline_synth",
+    # -- (b) round-5 additions --
+    "incremental_dedup_pairs",
+    "line_dedup_clean",
+    "dup_passages",
+    "politeness_schedule",
+    # -- (c) code/oracle changed in r5 after last green --
+    "a5_percentiles_binned",
     "multimodal_ppm_decode",
-    "s8_checkpoint_resume",
-    # -- round-4 additions: driver-checked the round they land --
-    "kmeans_fp_clusters",
-    "mg_top_terms",
-    "hdr_quantiles",
+    "multimodal_stub",
     "inverted_index_terms",
-    "bm25_topk_docs",
-    "stream_hdr_cells",
-    "ann_recall_ivf",
-    "proximity_hits_docs",
+    "kmeans_fp_clusters",
+    # -- (d) last checked in r2, two rounds stale --
+    "p2_composite_key",
+    "c2_chunk_explode",
+    "w1_history_top5",
+    "w2_retention_cap",
+    "salted_user_value",
+    "value_outliers",
+    "robust_outliers",
+    "interarrival_stats",
+    "funnel_counts",
+    "weighted_sample_docs",
+    "contamination_check",
+    "text_lm_score",
+    "semantic_dup_clusters",
+    "token_budget",
+    "length_histogram",
+    "w4_sliding_windows",
+    "stratified_sample",
+    "full_outer_counts",
+    "a4_success_failed",
+    "text_tokens",
+    "text_langid",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_domains",
+    "text_repetition",
+    "text_gopher_gate",
+    "corpus_top_terms",
+    "corpus_split_counts",
+    "dedup_minhash_sig",
+    # -- (e) anchors: two-round-stable regression canaries --
+    "p1_sha256",
+    "c1_chunk_roundtrip",
+    "j5_dedup_groups",
+    "a1_hit_rate",
+    "w4_rate_windows",
+    "a5_percentiles",
+    "text_quality",
+    "dedup_minhash_pairs",
+    "tpch_q1",
+    "extract_pipeline_synth",
+    "s8_checkpoint_resume",
 ]
 assert len(_DRIVER_WINDOW) == 50
 
