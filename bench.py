@@ -182,6 +182,97 @@ def machine_controls(rounds: int = 2) -> dict:
     }
 
 
+def run_worker(n: int, n_docs: int) -> dict:
+    """One pinned fresh-JVM extraction run at local[n] in a subprocess;
+    raises with the worker's stderr on failure instead of masking it
+    behind a JSON-parse error. Pinning to exactly n CPUs matters: a
+    local[N] run on a 32-core box otherwise gets free GC/JIT help from
+    idle cores a real N-core executor would not."""
+    import shutil
+
+    taskset = shutil.which("taskset")
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--scaling-worker",
+        f"local[{n}]",
+        str(n_docs),
+    ]
+    if taskset:
+        cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    lines = p.stdout.strip().splitlines()
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling worker local[{n}] failed (rc={p.returncode}): "
+            f"{p.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def cap_probe() -> float:
+    """The box-cap probe (r4 verdict task 3): the pinned local[16]
+    extraction rate — ~the box's saturated throughput for this job class.
+    Recorded BEFORE and AFTER the per-query operator table so every
+    window's numbers are noise-attributable: a per-query regression in a
+    window whose cap probe also dropped is the host, not the code
+    (r3→r4: dedup_clusters 2.4→8.0 s exactly tracked a 47k→30k probe)."""
+    return run_worker(16, SCALING_DOCS)["docs_per_sec"]
+
+
+def tenx_probe() -> dict:
+    """10× flagship scale probe (r4 verdict task 7): the same
+    arrow-native extraction at ~400k generated docs (10× the sf0.1
+    corpus), plus the mega-doc-skew partition-balance metrics of the
+    1024-partition fixture. Gated behind SPARK_GRAFT_TENX=1 — one
+    datapoint per round is evidence enough and the default bench stays
+    bounded."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.session import get_spark
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_TENX_DOCS", "400000"))
+    path = _scaling_corpus_path(n_docs)
+    run = extraction_run(
+        f"local[{CPUS}]",
+        variant="arrow_native",
+        path=path,
+        n_docs=n_docs,
+        partitions=SCALING_PARTS,
+    )
+    spark = get_spark(app_name="bench-tenx-balance", master=f"local[{CPUS}]")
+    per_part = (
+        spark.read.parquet(path)
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.expr("aggregate(spans, 0L, (a, s) -> a + length(s.text))"))
+            .alias("bytes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.max("docs").alias("max_docs"),
+            F.expr("percentile_approx(docs, 0.5)").alias("p50_docs"),
+            F.max("bytes").alias("max_bytes"),
+            F.expr("percentile_approx(bytes, 0.5)").alias("p50_bytes"),
+        )
+        .first()
+    )
+    spark.stop()
+    return {
+        **run,
+        "n_docs": n_docs,
+        "partitions": {
+            "count": per_part["parts"],
+            "max_docs": per_part["max_docs"],
+            "p50_docs": per_part["p50_docs"],
+            "max_over_p50_bytes": round(
+                per_part["max_bytes"] / max(per_part["p50_bytes"], 1), 2
+            ),
+        },
+    }
+
+
 def operator_bench(spark) -> dict[str, float]:
     import __spark_entry__ as em
 
@@ -213,6 +304,11 @@ def operator_bench(spark) -> dict[str, float]:
         "inverted_index_terms",
         "bm25_topk_docs",
         "proximity_hits_docs",
+        # round-5 additions
+        "incremental_dedup_pairs",
+        "line_dedup_clean",
+        "dup_passages",
+        "politeness_schedule",
     ]
     out: dict[str, float] = {}
     for name in headline:
@@ -244,33 +340,6 @@ def main() -> None:
             )
         )
         return
-
-    def run_worker(n: int, n_docs: int) -> dict:
-        """One pinned fresh-JVM extraction run at local[n] in a
-        subprocess; raises with the worker's stderr on failure instead of
-        masking it behind a JSON-parse error. Pinning to exactly n CPUs
-        matters: a local[N] run on a 32-core box otherwise gets free
-        GC/JIT help from idle cores a real N-core executor would not."""
-        import shutil
-
-        taskset = shutil.which("taskset")
-        cmd = [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--scaling-worker",
-            f"local[{n}]",
-            str(n_docs),
-        ]
-        if taskset:
-            cmd = [taskset, "-c", f"0-{n - 1}"] + cmd
-        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-        lines = p.stdout.strip().splitlines()
-        if p.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling worker local[{n}] failed (rc={p.returncode}): "
-                f"{p.stderr[-2000:]}"
-            )
-        return json.loads(lines[-1])
 
     def run_pair(n_lo: int, n_hi: int, n_docs: int, rounds: int) -> dict:
         """Interleave N/4N runs so host-VM load drift hits both levels
@@ -377,9 +446,15 @@ def main() -> None:
 
     from ktpm___ocr_spark.session import get_spark
 
+    # cap probes bracket the operator table: each window's per-query
+    # numbers carry the box throughput measured in the SAME window
+    cap_before = cap_probe()
     spark = get_spark(app_name="bench-operators", master=f"local[{CPUS}]")
     queries = operator_bench(spark)
     spark.stop()
+    cap_after = cap_probe()
+
+    tenx = tenx_probe() if os.environ.get("SPARK_GRAFT_TENX") == "1" else None
 
     total = round(extract["sec"] + sum(queries.values()), 3)
     result = {
@@ -395,6 +470,11 @@ def main() -> None:
         "extract_docs": extract["docs"],
         "extract_docs_per_sec": extract["docs_per_sec"],
         "extract_narrow_docs_per_sec": narrow["docs_per_sec"],
+        "operator_window_cap_probe": {
+            "before_docs_per_sec": round(cap_before, 1),
+            "after_docs_per_sec": round(cap_after, 1),
+        },
+        **({"tenx_probe": tenx} if tenx else {}),
         "scaling": scaling,
     }
     print(json.dumps(result))

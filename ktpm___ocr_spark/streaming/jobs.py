@@ -134,3 +134,51 @@ def dedup_upsert_stream(src: DataFrame, store_dir: str, key: str = "event_id"):
         new.write.mode("append").parquet(store_dir)
 
     return src.writeStream.foreachBatch(upsert).trigger(availableNow=True)
+
+
+def incremental_dedup_stream(
+    src: DataFrame,
+    band_dir: str,
+    text_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+):
+    """Streaming face of ``dedup.incremental_near_dups``: each micro-batch
+    of newly crawled docs is banded and probed against the PERSISTED band
+    store via ``foreachBatch``, appending verified near-dup pairs; the
+    batch's own bands and texts are then appended to the stores, so every
+    later batch sees this one as "existing corpus" — cross-batch dups are
+    caught without ever re-banding history. ``pair_kind`` is relative to
+    the probing batch (a dup against ANY earlier doc is ``new_old``).
+
+    This is the nightly-crawl composition at 100 TB: the stores are
+    Iceberg tables (bands bucketed by (band_idx, band_hash)) fed by
+    MERGE; here they are parquet dirs. Seed ``band_dir``/``text_dir``
+    with the existing corpus (``lsh_bands`` + an (id, text) projection)
+    before starting the stream.
+
+    Returns the DataStreamWriter — caller ``.start()``s it.
+    """
+    from ktpm___ocr_spark.operators.dedup import incremental_near_dups, lsh_bands
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # bands+texts+probe
+        # reuse one materialization of the micro-batch
+        pairs = incremental_near_dups(
+            spark.read.parquet(band_dir),
+            spark.read.parquet(text_dir),
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        lsh_bands(batch_df, id_col, text_col).write.mode("append").parquet(
+            band_dir
+        )
+        batch_df.select(id_col, text_col).write.mode("append").parquet(text_dir)
+
+    return src.writeStream.foreachBatch(process).trigger(availableNow=True)

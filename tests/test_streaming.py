@@ -200,3 +200,55 @@ def test_stream_hdr_cells_merge_across_batches(spark, events_dir, tmp_path):
         for r in hdr_cells(ev, "value").collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
+    """Streaming incremental dedup: batch A's docs join the band store
+    after probing, so a batch-B doc duplicating a batch-A doc is caught
+    WITHOUT re-banding history — plus the seeded old corpus is probed by
+    both batches."""
+    from ktpm___ocr_spark.operators.dedup import lsh_bands
+    from ktpm___ocr_spark.streaming.jobs import incremental_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus content here")],
+        "doc_id bigint, text string",
+    )
+    band_dir = str(tmp_path / "bands")
+    text_dir = str(tmp_path / "texts")
+    pairs_dir = str(tmp_path / "pairs")
+    lsh_bands(old, "doc_id", "text").write.parquet(band_dir)
+    old.write.parquet(text_dir)
+
+    inc_dir = tmp_path / "inc"
+    inc_dir.mkdir()
+    spark.createDataFrame(
+        [(101, base)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(inc_dir / "a.parquet"))
+    spark.createDataFrame(
+        [(201, base), (202, "novel increment text nothing shared")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(inc_dir / "b.parquet"))
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inc_dir) + "/*/")
+    )
+    q = incremental_dedup_stream(
+        src, band_dir, text_dir, pairs_dir, threshold=0.6
+    ).start()
+    assert q.awaitTermination(180), "stream must drain both files"
+
+    got = {
+        (r["id_a"], r["id_b"]): r["pair_kind"]
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got[(1, 101)] == "new_old"          # batch A vs seeded corpus
+    assert got[(1, 201)] == "new_old"          # batch B vs seeded corpus
+    assert got[(101, 201)] == "new_old"        # batch B vs batch A — the
+    # cross-batch catch: 101 entered the band store after batch A probed
+    assert all(202 not in p for p in got)      # novel doc pairs with nothing
+    # and the stores grew: 2 seeded + 3 streamed docs
+    assert spark.read.parquet(text_dir).count() == 5
