@@ -2315,7 +2315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).unionByName(
             seed.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
         )
-        old_bands = dd.lsh_bands(old, "doc_id", "text")
+        # the driver parquet is a single file → 1 partition; the old-side
+        # banding (the sha256-heavy stage) must be spread before compute
+        # (in production old_bands IS a persisted multi-file band table,
+        # so this repartition exists only in the from-scratch composition)
+        par = spark.sparkContext.defaultParallelism
+        old_bands = dd.lsh_bands(old.repartition(par, "doc_id"), "doc_id", "text")
         return dd.incremental_near_dups(
             old_bands, old, new.unionByName(plants), threshold=0.4
         )

@@ -443,7 +443,11 @@ def incremental_near_dups(
             n.join(
                 o,
                 (F.col("n.band_idx") == F.col("o.band_idx"))
-                & (F.col("n.band_hash") == F.col("o.band_hash")),
+                & (F.col("n.band_hash") == F.col("o.band_hash"))
+                # id spaces SHOULD be disjoint (precondition); the guard
+                # keeps a violated precondition from emitting degenerate
+                # (x, x) self-pairs instead of corrupting downstream joins
+                & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
             )
             .select(
                 F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
