@@ -2372,6 +2372,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["politeness_schedule"] = politeness_q
 
+    def bpe_merges_q(spark, sf):
+        """BPE tokenizer merge learning (r5): the top-5 merges over the
+        corpus word-frequency table (Sennrich et al. 2016) — the corpus
+        is shuffled once into (word, freq); each merge round is a
+        vocab-sized pair aggregate + 1-row argmax + literal replace
+        (functions/bpe.py). Oracle = the same 5 rounds unrolled as CTE
+        stages; the wrapped-symbol string representation makes the
+        greedy-leftmost merge a plain string replace in both engines."""
+        from ktpm___ocr_spark.functions.bpe import bpe_merges
+
+        return bpe_merges(_t(spark, sf, "documents"), k=5)
+
+    q["bpe_merge_table"] = bpe_merges_q
+
+    def bpe_encode_q(spark, sf):
+        """BPE vocabulary encoding (r5): the learned 5-merge table
+        applied to every distinct word — (word, freq, tokens_canon), the
+        subword segmentation a tokenizer would emit. The merge chain
+        compiles to 5 literal replaces inside one projection over the
+        vocab relation."""
+        from ktpm___ocr_spark.functions import bpe
+
+        d = _t(spark, sf, "documents")
+        merges = [
+            (r["lhs"], r["rhs"]) for r in bpe.bpe_merges(d, k=5).collect()
+        ]
+        wf = bpe.word_freq_symbols(d)
+        s = F.col("s")
+        for lhs, rhs in merges:
+            s = F.replace(
+                s,
+                F.lit(bpe.SYM_L + lhs + bpe.SYM_R + bpe.SYM_L + rhs + bpe.SYM_R),
+                F.lit(bpe.SYM_L + lhs + rhs + bpe.SYM_R),
+            )
+        return wf.select(
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+            F.array_join(bpe._symbols(s), " ").alias("tokens_canon"),
+        )
+
+    q["bpe_encode_vocab"] = bpe_encode_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2408,8 +2450,12 @@ _DRIVER_WINDOW = [
     "multimodal_stub",
     "inverted_index_terms",
     "kmeans_fp_clusters",
+    # -- (b') late round-5 additions (swapped for two ✓1✓2 trivial
+    # projections, p2_composite_key and dedup_minhash_sig, deferred to
+    # r6 — landing-round additions always get a driver row) --
+    "bpe_merge_table",
+    "bpe_encode_vocab",
     # -- (d) last checked in r2, two rounds stale --
-    "p2_composite_key",
     "c2_chunk_explode",
     "w1_history_top5",
     "w2_retention_cap",
@@ -2437,7 +2483,6 @@ _DRIVER_WINDOW = [
     "text_gopher_gate",
     "corpus_top_terms",
     "corpus_split_counts",
-    "dedup_minhash_sig",
     # -- (e) anchors: two-round-stable regression canaries --
     "p1_sha256",
     "c1_chunk_roundtrip",
@@ -3843,6 +3888,50 @@ WHERE rn <= 5
         "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
         "CAST(s.nl - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped "
         "FROM spine s LEFT JOIN agg a ON s.doc_id = a.doc_id"
+    )
+
+    # BPE merge learning, 5 rounds unrolled (the kmeans/pagerank unrolled-
+    # CTE playbook on strings): s{j} applies merge j to the whole vocab
+    # via literal replace over the \x1f<sym>\x1e representation — adjacent
+    # matches share no characters, so DuckDB replace() and Spark
+    # F.replace() (both left-to-right non-overlapping) agree greedily.
+    # sum(freq) cast to BIGINT (HUGEINT rule).
+    _bpe_wrap = (
+        "array_to_string(list_transform(generate_series(1, length(word)), "
+        "i -> chr(31) || substr(word, i, 1) || chr(30)), '')"
+    )
+    _bpe_stage = (
+        "p{j} AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS f FROM ("
+        "SELECT freq, t.lhs AS lhs, t.rhs AS rhs FROM (SELECT freq, "
+        "unnest(list_transform(generate_series(1, len(syms) - 1), i -> "
+        "struct_pack(lhs := syms[i], rhs := syms[i + 1]))) AS t FROM ("
+        "SELECT freq, string_split(substr(s, 2, length(s) - 2), "
+        "chr(30) || chr(31)) AS syms FROM s{i}))) GROUP BY 1, 2), "
+        "m{j} AS (SELECT lhs, rhs, lhs || rhs AS merged, f FROM p{j} "
+        "ORDER BY f DESC, lhs ASC, rhs ASC LIMIT 1), "
+        "s{j} AS (SELECT word, freq, replace(s, chr(31) || m{j}.lhs || "
+        "chr(30) || chr(31) || m{j}.rhs || chr(30), chr(31) || "
+        "m{j}.merged || chr(30)) AS s FROM s{i} CROSS JOIN m{j})"
+    )
+    _bpe_ctes = (
+        f"w0 AS (SELECT word, count(*) AS freq FROM (SELECT unnest({_words}) "
+        "AS word FROM documents) GROUP BY 1), "
+        f"s0 AS (SELECT word, freq, {_bpe_wrap} AS s FROM w0), "
+        + ", ".join(_bpe_stage.format(j=j, i=j - 1) for j in (1, 2, 3, 4, 5))
+    )
+    o["bpe_merge_table"] = (
+        f"WITH {_bpe_ctes} "
+        + " UNION ALL ".join(
+            f"SELECT CAST({j} AS BIGINT) AS merge_rank, lhs, rhs, merged, "
+            f"f AS pair_freq FROM m{j}"
+            for j in (1, 2, 3, 4, 5)
+        )
+    )
+    o["bpe_encode_vocab"] = (
+        f"WITH {_bpe_ctes} "
+        "SELECT word, CAST(freq AS BIGINT) AS freq, array_to_string("
+        "string_split(substr(s, 2, length(s) - 2), chr(30) || chr(31)), ' ') "
+        "AS tokens_canon FROM s5"
     )
 
     # repeated 8-token passages across ≥2 docs; sum(tf) cast back to

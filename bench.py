@@ -309,6 +309,7 @@ def operator_bench(spark) -> dict[str, float]:
         "line_dedup_clean",
         "dup_passages",
         "politeness_schedule",
+        "bpe_merge_table",
     ]
     out: dict[str, float] = {}
     for name in headline:
