@@ -2303,7 +2303,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         increment, probe the old band relation); the oracle is the
         equivalent full-corpus pair set restricted to pairs touching the
         increment."""
-        base = _t(spark, sf, "documents").select("doc_id", "text")
+        # the oracle identifies plants by the 10M/20M id offsets, so the
+        # natural-id domain must stay below 10M — enforced by construction
+        # on BOTH sides rather than assumed (r5 review finding)
+        base = (
+            _t(spark, sf, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 10000000)
+        )
         bucket = F.pmod(
             textstats.word_hash(F.col("doc_id").cast("string")), F.lit(100)
         )
@@ -2399,17 +2406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (r["lhs"], r["rhs"]) for r in bpe.bpe_merges(d, k=5).collect()
         ]
         wf = bpe.word_freq_symbols(d)
-        s = F.col("s")
         for lhs, rhs in merges:
-            s = F.replace(
-                s,
-                F.lit(bpe.SYM_L + lhs + bpe.SYM_R + bpe.SYM_L + rhs + bpe.SYM_R),
-                F.lit(bpe.SYM_L + lhs + rhs + bpe.SYM_R),
-            )
+            wf = bpe.apply_merge(wf, lhs, rhs)
         return wf.select(
             "word",
             F.col("freq").cast("long").alias("freq"),
-            F.array_join(bpe._symbols(s), " ").alias("tokens_canon"),
+            F.array_join(bpe._symbols(F.col("s")), " ").alias("tokens_canon"),
         )
 
     q["bpe_encode_vocab"] = bpe_encode_q
@@ -2433,9 +2435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # entry whose code or oracle changed in round 5 after its last green
 # (a5_percentiles_binned oracle DECIMAL cast; multimodal decode_media
 # self-healing probe -> ppm/stub entries; inverted_index persist; kmeans
-# _centroid_update refactor), (d) 29 of the 38 entries last checked in r2
-# (the 8 deferred are the ✓1✓2 double-green trivial P-family scalar
-# projections, re-gated locally every round), and (e) 11 stable anchors.
+# _centroid_update refactor), (d) 28 of the 38 entries last checked in r2
+# (27 below + a5_percentiles_binned under (c); the 10 deferred to r6 are
+# ✓1✓2 double-green trivial scalar projections — 9 P-family +
+# dedup_minhash_sig — re-gated locally every round), and (e) 11 stable
+# anchors.
 _DRIVER_WINDOW = [
     # -- (a) red row fixed this round --
     "graph_pagerank",
@@ -2937,10 +2941,12 @@ def oracle_sql() -> dict[str, str]:
         "VARCHAR)), 1, 15)) AS BIGINT) % 100 >= 80)"
     )
     o["incremental_dedup_pairs"] = (
-        "WITH aug AS (SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+        "WITH nat AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 10000000), "
+        "aug AS (SELECT doc_id, text FROM nat "
+        "UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM nat "
         f"WHERE {_old_seed} "
-        "UNION ALL SELECT doc_id + 20000000 AS doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 20000000 AS doc_id, text FROM nat "
         f"WHERE {_old_seed}), "
         f"{_mh_ctes_for('aug')}, "
         f"p0 AS ({_mh_pairs_sel}), "
@@ -3909,9 +3915,14 @@ WHERE rn <= 5
         "chr(30) || chr(31)) AS syms FROM s{i}))) GROUP BY 1, 2), "
         "m{j} AS (SELECT lhs, rhs, lhs || rhs AS merged, f FROM p{j} "
         "ORDER BY f DESC, lhs ASC, rhs ASC LIMIT 1), "
-        "s{j} AS (SELECT word, freq, replace(s, chr(31) || m{j}.lhs || "
-        "chr(30) || chr(31) || m{j}.rhs || chr(30), chr(31) || "
-        "m{j}.merged || chr(30)) AS s FROM s{i} CROSS JOIN m{j})"
+        # LEFT JOIN ON TRUE (not CROSS JOIN): when the pair space
+        # exhausts before round j, m{j} is empty and a cross join would
+        # wipe the vocab to 0 rows — the Spark side stops merging early
+        # and keeps every word, so the oracle must too (coalesce keeps s
+        # unchanged when the merge columns are NULL)
+        "s{j} AS (SELECT word, freq, coalesce(replace(s, chr(31) || "
+        "m{j}.lhs || chr(30) || chr(31) || m{j}.rhs || chr(30), chr(31) || "
+        "m{j}.merged || chr(30)), s) AS s FROM s{i} LEFT JOIN m{j} ON TRUE)"
     )
     _bpe_ctes = (
         f"w0 AS (SELECT word, count(*) AS freq FROM (SELECT unnest({_words}) "

@@ -241,9 +241,13 @@ def tenx_probe() -> dict:
         partitions=SCALING_PARTS,
     )
     spark = get_spark(app_name="bench-tenx-balance", master=f"local[{CPUS}]")
+    # group by the WRITTEN file (input_file_name), not spark_partition_id:
+    # the scan packs many small files per read split by size, which would
+    # even out exactly the mega-doc skew this metric is supposed to
+    # measure (r5 review finding)
     per_part = (
         spark.read.parquet(path)
-        .groupBy(F.spark_partition_id().alias("pid"))
+        .groupBy(F.input_file_name().alias("pid"))
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.expr("aggregate(spans, 0L, (a, s) -> a + length(s.text))"))

@@ -404,6 +404,7 @@ def incremental_near_dups(
     threshold: float = 0.6,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot near-dup detection — the realistic 100 TB pattern:
     a new crawl INCREMENT arrives and must be deduped against the
@@ -436,7 +437,15 @@ def incremental_near_dups(
     """
     par = new_docs.sparkSession.sparkContext.defaultParallelism
     new_docs = new_docs.repartition(par, id_col)
-    nb = lsh_bands(new_docs, id_col, text_col, k, bands).persist()
+    # a caller that has already banded the increment (e.g. the streaming
+    # face, which also appends the bands to the store) passes them in so
+    # the sha256-heavy banding stage — the dominant per-increment cost —
+    # runs exactly once (r5 review finding)
+    nb = (
+        new_bands
+        if new_bands is not None
+        else lsh_bands(new_docs, id_col, text_col, k, bands)
+    ).persist()
     try:
         n, o = nb.alias("n"), old_bands.alias("o")
         cross = (

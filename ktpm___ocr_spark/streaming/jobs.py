@@ -166,7 +166,9 @@ def incremental_dedup_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # bands+texts+probe
-        # reuse one materialization of the micro-batch
+        # band the increment ONCE (sha256-heavy): the same materialized
+        # relation serves the probe join and the band-store append
+        nb = lsh_bands(batch_df, id_col, text_col).localCheckpoint(eager=True)
         pairs = incremental_near_dups(
             spark.read.parquet(band_dir),
             spark.read.parquet(text_dir),
@@ -174,11 +176,10 @@ def incremental_dedup_stream(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            new_bands=nb,
         )
         pairs.write.mode("append").parquet(pairs_dir)
-        lsh_bands(batch_df, id_col, text_col).write.mode("append").parquet(
-            band_dir
-        )
+        nb.write.mode("append").parquet(band_dir)
         batch_df.select(id_col, text_col).write.mode("append").parquet(text_dir)
 
     return src.writeStream.foreachBatch(process).trigger(availableNow=True)
