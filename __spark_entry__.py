@@ -3882,8 +3882,9 @@ WHERE rn <= 5
         "l AS (SELECT doc_id, t.pos AS pos, t.line AS line FROM (SELECT "
         "doc_id, unnest(list_transform(string_split(body, chr(10)), (x, i) -> "
         "struct_pack(pos := i, line := x))) AS t FROM b)), "
+        # mirrors min_line_len=1: blank lines are never hot
         "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d "
-        "FROM l GROUP BY 1) WHERE d > 2), "
+        "FROM l WHERE length(line) >= 1 GROUP BY 1) WHERE d > 2), "
         "kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)), "
         "agg AS (SELECT doc_id, array_to_string(list_transform(list_sort("
         "list(struct_pack(pos := pos, line := line))), s -> s.line), chr(10)) "
@@ -3925,8 +3926,13 @@ WHERE rn <= 5
         "m{j}.merged || chr(30)), s) AS s FROM s{i} LEFT JOIN m{j} ON TRUE)"
     )
     _bpe_ctes = (
-        f"w0 AS (SELECT word, count(*) AS freq FROM (SELECT unnest({_words}) "
-        "AS word FROM documents) GROUP BY 1), "
+        # mirrors bpe.sanitize_word: delimiter control chars stripped,
+        # delimiter-only words dropped (no-op on this corpus, but the two
+        # engines must agree on ANY input)
+        "w0 AS (SELECT word, count(*) AS freq FROM (SELECT regexp_replace(w, "
+        "'[' || chr(30) || chr(31) || ']', '', 'g') AS word FROM (SELECT "
+        f"unnest({_words}) AS w FROM documents)) WHERE word <> '' "
+        "GROUP BY 1), "
         f"s0 AS (SELECT word, freq, {_bpe_wrap} AS s FROM w0), "
         + ", ".join(_bpe_stage.format(j=j, i=j - 1) for j in (1, 2, 3, 4, 5))
     )

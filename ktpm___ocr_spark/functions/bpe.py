@@ -32,10 +32,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ktpm___ocr_spark.functions.exprutil import let
 from ktpm___ocr_spark.functions.textstats import words_array
 
 SYM_L = "\x1f"  # unit separator: opens every symbol
 SYM_R = "\x1e"  # record separator: closes every symbol
+
+
+def sanitize_word(word) -> F.Column:
+    """Strip the two delimiter control characters from input words —
+    text that already contains U+001E/U+001F (OCR/web junk) would
+    otherwise let a merged symbol contain the split boundary and corrupt
+    every later round (r5 review)."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.regexp_replace(w, f"[{SYM_R}{SYM_L}]", "")
 
 
 def wrap_chars(word) -> F.Column:
@@ -54,9 +64,12 @@ def wrap_chars(word) -> F.Column:
 
 def word_freq_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq, s) — the BPE training relation: corpus word counts
-    with each word's initial character-symbol string."""
+    with each word's initial character-symbol string (delimiter chars
+    stripped; words made of nothing else are dropped)."""
     return (
-        df.select(F.explode(words_array(F.col(text_col))).alias("word"))
+        df.select(F.explode(words_array(F.col(text_col))).alias("_w"))
+        .select(sanitize_word("_w").alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("word", "freq", wrap_chars("word").alias("s"))
@@ -65,24 +78,35 @@ def word_freq_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _symbols(s) -> F.Column:
     """Symbol string → array of symbols (strip the outer wrappers, split
-    on the closing+opening boundary between units)."""
-    return F.split(s.substr(F.lit(2), F.length(s) - 2), SYM_R + SYM_L)
+    on the closing+opening boundary between units). ``let``-bound: ``s``
+    may be a deep replace chain, and it appears twice below (substr arg
+    and length arg) — without the binding Catalyst evaluates it twice."""
+    return let(
+        s, lambda ss: F.split(ss.substr(F.lit(2), F.length(ss) - 2), SYM_R + SYM_L)
+    )
 
 
 def pair_counts(wf: DataFrame) -> DataFrame:
     """(lhs, rhs, f): adjacent-symbol pair frequencies weighted by word
-    frequency — the relation each merge round argmaxes over."""
-    syms = _symbols(F.col("s"))
-    pairs = F.when(
-        F.size(syms) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(syms) - 1),
-            lambda i: F.struct(
-                F.element_at(syms, i.cast("int")).alias("lhs"),
-                F.element_at(syms, (i + 1).cast("int")).alias("rhs"),
+    frequency — the relation each merge round argmaxes over.
+
+    The symbol array is ``let``-bound: referenced naively at four sites
+    (two sizes + two element_ats inside the transform lambda), Catalyst's
+    CollapseProject would re-inline the substr+split subtree per array
+    element — O(L²) per word per round (r5 review)."""
+    pairs = let(
+        _symbols(F.col("s")),
+        lambda syms: F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i.cast("int")).alias("lhs"),
+                    F.element_at(syms, (i + 1).cast("int")).alias("rhs"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>")),
+    )
     return (
         wf.select(F.col("freq"), F.explode(pairs).alias("p"))
         .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
@@ -145,11 +169,19 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply a learned merge list to every document's words — the
     tokenize step. Returns (id, word, tokens_canon) with the subword
-    sequence as a space-joined canonical string. Pure column
-    expressions: the merge chain compiles to |merges| literal replaces
-    inside one projection (zero shuffles beyond the word explode)."""
-    words = df.select(
-        F.col(id_col), F.explode(words_array(F.col(text_col))).alias("word")
+    sequence as a space-joined canonical string.
+
+    The merge chain runs over DISTINCT words (vocab-sized), then joins
+    back to the (id, word) occurrences — at the module doc's design
+    point that is ~10⁵× fewer chain evaluations than encoding per
+    occurrence (r5 review); the same vocab-not-corpus argument that
+    shapes training shapes tokenization."""
+    words = (
+        df.select(
+            F.col(id_col), F.explode(words_array(F.col(text_col))).alias("_w")
+        )
+        .select(F.col(id_col), sanitize_word("_w").alias("word"))
+        .filter(F.col("word") != "")
     )
     s = wrap_chars("word")
     for lhs, rhs in merges:
@@ -158,8 +190,9 @@ def bpe_encode(
             F.lit(SYM_L + lhs + SYM_R + SYM_L + rhs + SYM_R),
             F.lit(SYM_L + lhs + rhs + SYM_R),
         )
-    return words.select(
-        id_col,
-        "word",
-        F.array_join(_symbols(s), " ").alias("tokens_canon"),
+    encoded = (
+        words.select("word")
+        .distinct()
+        .select("word", F.array_join(_symbols(s), " ").alias("tokens_canon"))
     )
+    return words.join(encoded, "word").select(id_col, "word", "tokens_canon")

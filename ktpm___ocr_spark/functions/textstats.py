@@ -410,13 +410,25 @@ def gopher_gate(
 
 
 def contamination_flags(
-    docs, benchmark, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+    docs,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    benchmark_is_subset: bool = True,
 ):
     """Benchmark decontamination: flag corpus documents sharing any
     word n-gram (default 8-gram, the standard from GPT-3/PaLM reports)
     with an evaluation set. Shape at scale: explode both sides to
     n-gram hashes, equi-join on the hash (benchmark side is tiny →
     broadcast), distinct doc ids out. Never compares documents pairwise.
+
+    ``benchmark_is_subset`` (default True) excludes same-id matches —
+    correct ONLY when the benchmark rows are drawn from ``docs`` itself
+    (a doc is trivially "contaminated" by its own grams). Pass False
+    when the benchmark has an INDEPENDENT id space: there, id equality
+    is coincidence across unrelated numbering schemes, and the exclusion
+    would silently drop genuine leaks (r5 review).
 
     Returns (id, n_shared) for contaminated docs only.
     """
@@ -431,11 +443,11 @@ def contamination_flags(
     b = grams(benchmark, id_col).select(
         F.col(id_col).alias("bench_id"), "g"
     ).distinct()
-    return (
-        d.join(F.broadcast(b), "g")
-        .filter(F.col(id_col) != F.col("bench_id"))
-        .groupBy(id_col)
-        .agg(F.count_distinct("g").alias("n_shared"))
+    joined = d.join(F.broadcast(b), "g")
+    if benchmark_is_subset:
+        joined = joined.filter(F.col(id_col) != F.col("bench_id"))
+    return joined.groupBy(id_col).agg(
+        F.count_distinct("g").alias("n_shared")
     )
 
 

@@ -289,6 +289,7 @@ def boilerplate_line_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_line_df: int = 2,
+    min_line_len: int = 1,
 ) -> DataFrame:
     """C4-style corpus-frequency line dedup (Raffel et al. 2020 §2.2:
     discard lines that recur across the corpus — cookie banners,
@@ -306,7 +307,13 @@ def boilerplate_line_filter(
     is a LEFT ANTI join against the *hot-line* relation — small (only
     lines with df > threshold), never the corpus-sized kept set. The
     per-doc re-stitch groups by doc id, so mega-docs are the skew bound
-    (the AQE-split story shared with the extraction pipeline)."""
+    (the AQE-split story shared with the extraction pipeline).
+
+    Lines shorter than ``min_line_len`` chars are never classified hot
+    (default 1): blank paragraph separators recur in virtually every
+    real document, and without the guard the filter would strip every
+    doc's structure corpus-wide (r5 review). ``min_line_len=0`` restores
+    pure frequency-only semantics."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(
@@ -314,7 +321,8 @@ def boilerplate_line_filter(
         ).alias("pos", "line"),
     )
     hot = (
-        lines.groupBy("line")
+        lines.filter(F.length("line") >= min_line_len)
+        .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
         .filter(F.col("line_df") > max_line_df)
         .select("line")
@@ -574,11 +582,19 @@ def connected_components(
                 .groupBy(F.col("v").alias("u"))
                 .agg(F.min("label").alias("nbr_min"))
             )
-            propagated = labels.join(nbr_min, "u", "left").select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
+            # materialized: the pointer-jumping self-join below consumes
+            # propagated on BOTH sides — without the checkpoint the
+            # edges⋈labels⋈nbr_min subtree re-evaluates once per side,
+            # doubling the hot loop's per-round shuffle work (r5 review)
+            propagated = (
+                labels.join(nbr_min, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
             )
             # pointer jumping: labels are themselves node ids, so follow
             # label→label(label) and take the min — halves the remaining
@@ -599,6 +615,7 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+            _release_checkpoint(propagated)  # new_labels is materialized
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "u")
@@ -736,7 +753,17 @@ def simhash_near_dups(
 ) -> DataFrame:
     """SimHash near-dups via the pigeonhole block join: if hamming ≤ 3,
     at least one of the four 16-bit quarters matches exactly — join on
-    (quarter_idx, quarter_bits), then verify full Hamming distance."""
+    (quarter_idx, quarter_bits), then verify full Hamming distance.
+
+    The 4-block pigeonhole guarantees candidate recall ONLY for
+    ``max_hamming ≤ 3`` (d=4 can put one flipped bit in every quarter) —
+    larger thresholds raise rather than silently under-report."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-quarter pigeonhole join guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); use more blocks or a "
+            "different candidate scheme for larger radii"
+        )
     # No persist here: `quarters` below is consumed twice (self-join), but
     # each side re-derives from the same narrow projection and a persist
     # would leak cached blocks across queries in long-lived sessions

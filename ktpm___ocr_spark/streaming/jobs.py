@@ -121,16 +121,19 @@ def dedup_upsert_stream(src: DataFrame, store_dir: str, key: str = "event_id"):
 
     Returns the DataStreamWriter — caller ``.start()``s it.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.dropDuplicates([key])
-        if os.path.isdir(store_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(store_dir)
-        ):
+        # probe the store through Spark, not os.path (which silently
+        # disables cross-batch dedup for file:///hdfs://s3a:// paths —
+        # r5 review): a missing or empty store raises AnalysisException
+        try:
             seen = spark.read.parquet(store_dir).select(key)
             new = new.join(seen, key, "left_anti")
+        except AnalysisException:
+            pass  # first batch — nothing to dedup against yet
         new.write.mode("append").parquet(store_dir)
 
     return src.writeStream.foreachBatch(upsert).trigger(availableNow=True)
@@ -155,31 +158,62 @@ def incremental_dedup_stream(
 
     This is the nightly-crawl composition at 100 TB: the stores are
     Iceberg tables (bands bucketed by (band_idx, band_hash)) fed by
-    MERGE; here they are parquet dirs. Seed ``band_dir``/``text_dir``
-    with the existing corpus (``lsh_bands`` + an (id, text) projection)
-    before starting the stream.
+    MERGE; here each store is a directory of SUBDIRECTORIES — seed the
+    existing corpus into ``{band_dir}/seed`` / ``{text_dir}/seed``
+    (``lsh_bands`` + an (id, text) projection), and each micro-batch
+    OVERWRITES its own ``b{batch_id}`` subdir. That layout is what makes
+    at-least-once replay exactly-once (r5 review): a replayed batch
+    re-reads exactly the pre-batch store state (its own subdir is
+    excluded from the probe) and overwrites — never re-appends — its
+    three outputs, so partial-failure replays converge instead of
+    duplicating pairs or double-growing the stores. Read the pair output
+    with ``spark.read.parquet(pairs_dir + "/*")``.
+
+    ``pair_kind`` is relative to the probing batch (a dup against ANY
+    earlier doc is ``new_old``).
 
     Returns the DataStreamWriter — caller ``.start()``s it.
     """
-    from ktpm___ocr_spark.operators.dedup import incremental_near_dups, lsh_bands
+    from ktpm___ocr_spark.operators.dedup import (
+        _release_checkpoint,
+        incremental_near_dups,
+        lsh_bands,
+    )
+
+    def _store_parts(spark, root: str, exclude: str) -> list[str]:
+        """Subdirectories of a store, minus this batch's own — listed via
+        the Hadoop FS API so any scheme (file://, hdfs://, s3a://) works."""
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return [
+            str(st.getPath().toString())
+            for st in fs.listStatus(p)
+            if st.isDirectory() and st.getPath().getName() != exclude
+        ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        sub = f"b{batch_id}"
         batch_df = batch_df.localCheckpoint(eager=True)  # bands+texts+probe
         # band the increment ONCE (sha256-heavy): the same materialized
-        # relation serves the probe join and the band-store append
+        # relation serves the probe join and the band-store write
         nb = lsh_bands(batch_df, id_col, text_col).localCheckpoint(eager=True)
         pairs = incremental_near_dups(
-            spark.read.parquet(band_dir),
-            spark.read.parquet(text_dir),
+            spark.read.parquet(*_store_parts(spark, band_dir, sub)),
+            spark.read.parquet(*_store_parts(spark, text_dir, sub)),
             batch_df,
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
             new_bands=nb,
         )
-        pairs.write.mode("append").parquet(pairs_dir)
-        nb.write.mode("append").parquet(band_dir)
-        batch_df.select(id_col, text_col).write.mode("append").parquet(text_dir)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{sub}")
+        nb.write.mode("overwrite").parquet(f"{band_dir}/{sub}")
+        batch_df.select(id_col, text_col).write.mode("overwrite").parquet(
+            f"{text_dir}/{sub}"
+        )
+        for ckpt in (pairs, nb, batch_df):  # bound executor storage to
+            _release_checkpoint(ckpt)  # one batch's blocks (r5 review)
 
     return src.writeStream.foreachBatch(process).trigger(availableNow=True)

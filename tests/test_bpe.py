@@ -94,3 +94,23 @@ def test_pair_counts_weighted_by_freq(spark):
         (r["lhs"], r["rhs"]): r["f"] for r in pair_counts(word_freq_symbols(df)).collect()
     }
     assert got[("a", "b")] == 3 and got[("c", "d")] == 1
+
+
+def test_bpe_delimiter_chars_sanitized(spark):
+    """Input text containing the \\x1e/\\x1f delimiter chars must not
+    corrupt the symbol encoding — they are stripped before wrapping, and
+    delimiter-only words vanish."""
+    df = _corpus(spark, "ab\x1fcd ab\x1ecd \x1f\x1e ab ab ab")
+    wf = {r["word"]: r["freq"] for r in word_freq_symbols(df).collect()}
+    # both contaminated spellings collapse to the clean word
+    assert wf == {"abcd": 2, "ab": 3}
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(df, k=2).orderBy("merge_rank").collect()
+    ]
+    enc = {
+        r["word"]: r["tokens_canon"]
+        for r in bpe_encode(df, merges).distinct().collect()
+    }
+    assert set(enc) == {"abcd", "ab"}
+    assert all("\x1e" not in t and "\x1f" not in t for t in enc.values())

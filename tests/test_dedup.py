@@ -227,9 +227,10 @@ def test_boilerplate_line_filter_c4(spark):
     assert got[5]["clean_text"] == "" and got[5]["n_kept"] == 1
 
 
-def test_boilerplate_line_filter_empty_line_crosses_threshold(spark):
-    """Three docs sharing an empty line → the empty line itself is
-    boilerplate and is dropped from all of them."""
+def test_boilerplate_line_filter_blank_lines_kept_by_default(spark):
+    """Blank paragraph separators recur in every real doc — the default
+    min_line_len=1 keeps them out of the hot set (document structure
+    survives); min_line_len=0 restores pure frequency semantics."""
     from ktpm___ocr_spark.operators.dedup import boilerplate_line_filter
 
     df = spark.createDataFrame(
@@ -237,8 +238,14 @@ def test_boilerplate_line_filter_empty_line_crosses_threshold(spark):
         "doc_id bigint, text string",
     )
     got = {r["doc_id"]: r for r in boilerplate_line_filter(df, max_line_df=2).collect()}
-    assert got[0]["clean_text"] == "head 0\ntail 0"
-    assert got[0]["n_dropped"] == 1
+    assert got[0]["clean_text"] == "head 0\n\ntail 0"  # structure kept
+    assert got[0]["n_dropped"] == 0
+    raw = {
+        r["doc_id"]: r
+        for r in boilerplate_line_filter(df, max_line_df=2, min_line_len=0).collect()
+    }
+    assert raw[0]["clean_text"] == "head 0\ntail 0"
+    assert raw[0]["n_dropped"] == 1
 
 
 def test_duplicate_passages_window_counts(spark):

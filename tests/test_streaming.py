@@ -218,8 +218,9 @@ def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
     band_dir = str(tmp_path / "bands")
     text_dir = str(tmp_path / "texts")
     pairs_dir = str(tmp_path / "pairs")
-    lsh_bands(old, "doc_id", "text").write.parquet(band_dir)
-    old.write.parquet(text_dir)
+    # store contract: seed subdir + one overwritten subdir per batch
+    lsh_bands(old, "doc_id", "text").write.parquet(f"{band_dir}/seed")
+    old.write.parquet(f"{text_dir}/seed")
 
     inc_dir = tmp_path / "inc"
     inc_dir.mkdir()
@@ -243,7 +244,7 @@ def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
 
     got = {
         (r["id_a"], r["id_b"]): r["pair_kind"]
-        for r in spark.read.parquet(pairs_dir).collect()
+        for r in spark.read.parquet(pairs_dir + "/*").collect()
     }
     assert got[(1, 101)] == "new_old"          # batch A vs seeded corpus
     assert got[(1, 201)] == "new_old"          # batch B vs seeded corpus
@@ -251,4 +252,25 @@ def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
     # cross-batch catch: 101 entered the band store after batch A probed
     assert all(202 not in p for p in got)      # novel doc pairs with nothing
     # and the stores grew: 2 seeded + 3 streamed docs
-    assert spark.read.parquet(text_dir).count() == 5
+    assert spark.read.parquet(text_dir + "/*").count() == 5
+
+    # replay idempotence (at-least-once → exactly-once): a fresh query
+    # over the same files re-runs batches b0/b1; every write OVERWRITES
+    # its batch subdir and the probe excludes the batch's own subdir, so
+    # the final state is identical — no duplicated pairs, no double-grown
+    # stores
+    src2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inc_dir) + "/*/")
+    )
+    q2 = incremental_dedup_stream(
+        src2, band_dir, text_dir, pairs_dir, threshold=0.6
+    ).start()
+    assert q2.awaitTermination(180)
+    got2 = {
+        (r["id_a"], r["id_b"]): r["pair_kind"]
+        for r in spark.read.parquet(pairs_dir + "/*").collect()
+    }
+    assert got2 == got
+    assert spark.read.parquet(text_dir + "/*").count() == 5
