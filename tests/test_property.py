@@ -247,3 +247,75 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "(c) corp", "", "nav | home", "x"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_line_filter_invariants(spark, docs_lines):
+    """Random corpora: (1) n_kept + n_dropped == original line count per
+    doc, (2) no surviving clean_text contains a hot line, (3) kept lines
+    preserve original order (clean_text is a subsequence of the doc)."""
+    from ktpm___ocr_spark.operators.dedup import boilerplate_line_filter
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in boilerplate_line_filter(df, max_line_df=2).collect()}
+    # recompute hot set in python (len >= 1 mirror)
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, ls in enumerate(docs_lines):
+        for line in ls:
+            if len(line) >= 1:
+                docs_per_line[line].add(i)
+    hot = {l for l, d in docs_per_line.items() if len(d) > 2}
+    for i, ls in enumerate(docs_lines):
+        r = got[i]
+        assert r["n_kept"] + r["n_dropped"] == len(ls)
+        kept = [l for l in ls if l not in hot]
+        assert r["clean_text"] == "\n".join(kept)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 4),
+)
+def test_bpe_encode_roundtrip_and_merge_count(spark, words, k):
+    """Random corpora: concatenating a word's subword tokens restores the
+    word exactly (BPE is a segmentation, never lossy), and every learned
+    merge's pair_freq is positive with ranks 1..n contiguous."""
+    from ktpm___ocr_spark.functions.bpe import bpe_encode, bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    mt = bpe_merges(df, k=k).orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in mt] == list(range(1, len(mt) + 1))
+    assert all(r["pair_freq"] >= 1 for r in mt)
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in mt)
+    merges = [(r["lhs"], r["rhs"]) for r in mt]
+    for r in bpe_encode(df, merges).collect():
+        assert r["tokens_canon"].replace(" ", "") == r["word"]
