@@ -70,59 +70,59 @@ def inverted_index(
     collect_list buffer and materialize a corpus-sized string on one
     task *before* the filter could discard it.
 
-    ``per_doc`` is consumed by BOTH phases, so it is persisted across
-    them (r4 ADVICE: without the persist the explode + tokenize +
-    (term, doc) shuffle — the dominant cost at the 100 TB design point —
-    runs twice). Same persist hygiene as ``dedup.minhash_near_dups``:
-    the index (vocabulary-sized, the relation a deployment would write
-    to parquet anyway) is eagerly materialized, then the fat
-    intermediate is released before returning."""
+    Cost split between the phases (r5 measurement; supersedes the r4
+    persist-per_doc design): phase 1 shuffles only (term, doc, count)
+    integers — no position strings — and its vocab-sized gate result is
+    eagerly materialized (cheap: |vocab| rows). Phase 2 re-tokenizes
+    (map-side CPU, the cheap half) but applies the broadcast survivor
+    semi-join BEFORE its shuffle, so posting strings move exactly once
+    and ONLY for surviving terms — gated-out noise/stopword plists are
+    never serialized into an exchange. Nothing corpus-sized is cached
+    or checkpointed; the returned index stays lazy for the caller to
+    sink (the persist alternative cached the corpus-wide (term, doc,
+    plist) relation AND shuffled dropped terms' strings)."""
     n_docs_row = docs.select(F.count(F.lit(1)).alias("_n"))
-    per_doc = (
-        _term_positions(docs, id_col, text_col)
+    tok = _term_positions(docs, id_col, text_col)
+    survivors = (
+        tok.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .crossJoin(F.broadcast(n_docs_row))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("_n") * max_df_ratio)
+        )
+        .select("term", "df", "cf")
+        # vocab-sized; materialized so the gate's two consumers (the
+        # phase-2 semi-join and the final join) don't re-run phase 1
+        .localCheckpoint(eager=True)
+    )
+    postings = (
+        tok.join(F.broadcast(survivors.select("term")), "term")
         .groupBy("term", "doc_id")
         .agg(
-            F.count(F.lit(1)).alias("tf"),
             F.array_join(
                 F.sort_array(F.collect_list(F.col("pos").cast("long"))), " "
-            ).alias("plist"),
+            ).alias("plist")
         )
-    ).persist()
-    try:
-        survivors = (
-            per_doc.groupBy("term")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("cf"),
-            )
-            .crossJoin(F.broadcast(n_docs_row))
-            .filter(
-                (F.col("df") >= min_df)
-                & (F.col("df") <= F.col("_n") * max_df_ratio)
-            )
-            .select("term", "df", "cf")
-        )
-        postings = (
-            per_doc.join(F.broadcast(survivors.select("term")), "term")
-            .groupBy("term")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("doc_id", "plist"))),
-                        lambda s: F.concat(
-                            s["doc_id"].cast("string"), F.lit(":"), s["plist"]
-                        ),
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "plist"))),
+                    lambda s: F.concat(
+                        s["doc_id"].cast("string"), F.lit(":"), s["plist"]
                     ),
-                    ",",
-                ).alias("postings")
-            )
+                ),
+                ",",
+            ).alias("postings")
         )
-        out = survivors.join(postings, "term").select(
-            "term", "df", "cf", "postings"
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        per_doc.unpersist()
+    )
+    return survivors.join(postings, "term").select("term", "df", "cf", "postings")
 
 
 def bm25_topk(
