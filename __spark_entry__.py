@@ -2368,6 +2368,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_passages"] = dup_passages_q
 
+    def excise_passages_q(spark, sf):
+        """Exact-substring EXCISION (r5) — the removal step over the
+        dup_passages detection: every token covered by a corpus-repeated
+        8-gram window is removed from every doc, survivors re-joined in
+        order (dedup.excise_repeated_passages; Lee et al. 2022)."""
+        return dd.excise_repeated_passages(
+            _t(spark, sf, "documents"), n=8, min_docs=2
+        )
+
+    q["excise_passages_clean"] = excise_passages_q
+
     def politeness_q(spark, sf):
         """Per-host politeness fetch schedule (r5) over the crawl_budget
         allocation: fetch i of host h at i·5 s, hosts sticky-hashed to 16
@@ -2459,10 +2470,11 @@ _DRIVER_WINDOW = [
     # r6 — landing-round additions always get a driver row) --
     "bpe_merge_table",
     "bpe_encode_vocab",
+    "excise_passages_clean",
+    # -- (c continued) code changed in r5 after last green --
+    "dedup_clusters",
+    "dedup_simhash",
     # -- (d) last checked in r2, two rounds stale --
-    "c2_chunk_explode",
-    "w1_history_top5",
-    "w2_retention_cap",
     "salted_user_value",
     "value_outliers",
     "robust_outliers",
@@ -3949,6 +3961,31 @@ WHERE rn <= 5
         "SELECT word, CAST(freq AS BIGINT) AS freq, array_to_string("
         "string_split(substr(s, 2, length(s) - 2), chr(30) || chr(31)), ' ') "
         "AS tokens_canon FROM s5"
+    )
+
+    # exact-substring excision: windows WITH start offsets, hit-join to
+    # the repeated set, per-doc union coverage via in-row list HOFs
+    # (1-based positions both engines; DuckDB generate_series(1,0) = [],
+    # matching Spark's guarded empty case)
+    o["excise_passages_clean"] = (
+        f"WITH w AS (SELECT doc_id, {_words} AS ws FROM documents), "
+        "g AS (SELECT doc_id, t.start AS start, t.passage AS passage FROM "
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, "
+        "len(ws) - 7), i -> struct_pack(start := i, passage := "
+        "array_to_string(ws[i:i+7], ' ')))) AS t FROM w WHERE len(ws) >= 8)), "
+        "pd AS (SELECT passage, doc_id FROM g GROUP BY 1, 2), "
+        "rep AS (SELECT passage FROM pd GROUP BY 1 HAVING count(*) >= 2), "
+        "st AS (SELECT doc_id, list_sort(list_distinct(list(start))) AS "
+        "starts FROM g JOIN rep USING (passage) GROUP BY 1), "
+        "sel AS (SELECT w.doc_id, ws, coalesce(st.starts, CAST([] AS "
+        "BIGINT[])) AS starts FROM w LEFT JOIN st ON w.doc_id = st.doc_id), "
+        "k AS (SELECT doc_id, ws, list_filter(list_transform("
+        "generate_series(1, len(ws)), p -> struct_pack(tok := ws[p], "
+        "cut := len(list_filter(starts, s -> p >= s AND p < s + 8)) > 0)), "
+        "t -> NOT t.cut) AS keptl FROM sel) "
+        "SELECT doc_id, coalesce(array_to_string(list_transform(keptl, "
+        "t -> t.tok), ' '), '') AS clean_text, CAST(len(ws) AS BIGINT) AS "
+        "n_tokens, CAST(len(ws) - len(keptl) AS BIGINT) AS n_removed FROM k"
     )
 
     # repeated 8-token passages across ≥2 docs; sum(tf) cast back to

@@ -312,6 +312,7 @@ def operator_bench(spark) -> dict[str, float]:
         "incremental_dedup_pairs",
         "line_dedup_clean",
         "dup_passages",
+        "excise_passages_clean",
         "politeness_schedule",
         "bpe_merge_table",
     ]

@@ -403,6 +403,105 @@ def duplicate_passages(
     )
 
 
+def excise_repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal step of exact substring dedup (Lee et al. 2022):
+    every token covered by ANY corpus-repeated n-gram window (per
+    :func:`duplicate_passages`) is excised from every document;
+    survivors re-join in order. Removing *all* occurrences (not
+    all-but-one) is deliberate — "keep the first copy" depends on a
+    global document order and would not be deterministic under
+    partitioning; Lee et al. report the all-copies and one-copy variants
+    train equally well.
+
+    Output: ``(id, clean_text, n_tokens, n_removed)`` — one row per doc.
+
+    Scale shape: the repeated-passage set comes from the two
+    partial-agg count shuffles of ``duplicate_passages`` (vocab-of-
+    passages-sized, no postings); the window→passage hit join shuffles
+    (passage, doc, start) rows only for windows that MATCH a repeated
+    passage after the join; per-doc coverage is a collect_set of start
+    offsets (bounded by doc length) expanded in-row by an array HOF —
+    the re-stitch groups by doc, mega-docs bound the reducer."""
+    ws = df.select(
+        F.col(id_col), words_array(F.col(text_col)).alias("ws")
+    )
+    wins = ws.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("ws") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at("ws", (i + j).cast("int"))
+                                for j in range(n)
+                            ],
+                        ).alias("passage"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<start:bigint,passage:string>>")
+            )
+        ).alias("w"),
+    ).select(id_col, "w.start", "w.passage")
+    rep = duplicate_passages(df, id_col, text_col, n, min_docs).select(
+        "passage"
+    )
+    starts = (
+        wins.join(rep, "passage")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    covered = F.coalesce(F.col("starts"), F.array().cast("array<bigint>"))
+    # empty docs guard: Spark sequence(1, 0) DESCENDS and ANSI
+    # element_at throws out-of-bounds, so zero-token docs short-circuit
+    kept = let2(
+        F.col("ws"),
+        covered,
+        lambda w, st: F.when(
+            F.size(w) >= 1,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w)),
+                    lambda p: F.struct(
+                        F.element_at(w, p.cast("int")).alias("tok"),
+                        F.exists(
+                            st,
+                            lambda s: (p.cast("long") >= s)
+                            & (p.cast("long") < s + n),
+                        ).alias("cut"),
+                    ),
+                ),
+                lambda t: ~t["cut"],
+            ),
+        ).otherwise(F.array().cast("array<struct<tok:string,cut:boolean>>")),
+    )
+    return (
+        ws.join(starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.transform(kept, lambda t: t["tok"]).alias("_kept"),
+        )
+        .select(
+            id_col,
+            F.array_join("_kept", " ").alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def incremental_near_dups(
     old_bands: DataFrame,
     old_texts: DataFrame,

@@ -270,3 +270,48 @@ def test_duplicate_passages_window_counts(spark):
     }
     assert got[shared] == (3, 4)  # docs 1, 2, 4 (twice in 4)
     assert all(nd >= 2 for nd, _ in got.values())
+
+
+def test_excise_repeated_passages(spark):
+    """Tokens covered by any corpus-repeated 8-gram are removed from
+    every doc (all occurrences — deterministic under partitioning);
+    clean docs and short docs pass through untouched."""
+    from ktpm___ocr_spark.operators.dedup import excise_repeated_passages
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro"),
+            (2, f"{shared}"),
+            (3, "totally unrelated words forming no repeats whatsoever"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in excise_repeated_passages(df, n=8, min_docs=2).collect()
+    }
+    assert len(got) == 5
+    assert got[1]["clean_text"] == "intro outro"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (10, 8)
+    assert got[2]["clean_text"] == "" and got[2]["n_removed"] == 8
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"].startswith("totally unrelated")
+    assert got[4] == {"doc_id": 4, "clean_text": "tiny", "n_tokens": 1, "n_removed": 0}
+    assert got[5]["n_tokens"] == 0 and got[5]["clean_text"] == ""
+
+
+def test_excise_overlapping_windows_union_coverage(spark):
+    """A 9-token shared run produces two overlapping repeated 8-windows;
+    coverage is their union (all 9 tokens removed), not double-counted."""
+    from ktpm___ocr_spark.operators.dedup import excise_repeated_passages
+
+    nine = "a b c d e f g h i"
+    df = spark.createDataFrame(
+        [(1, f"x {nine} y"), (2, nine)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in excise_repeated_passages(df, n=8, min_docs=2).collect()}
+    assert got[1]["clean_text"] == "x y"
+    assert got[1]["n_removed"] == 9
