@@ -2427,6 +2427,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode_vocab"] = bpe_encode_q
 
+    def quality_clf_q(spark, sf):
+        """Hashed linear quality-classifier inference (r5 cont.): each
+        word hashes to one of 4096 feature slots, the doc score is the
+        exact-int64 mean slot weight, label = sign — the fastText
+        execution shape (hash → weight lookup → linear reduction) as a
+        ZERO-SHUFFLE projection (textstats.hashed_quality_classifier)."""
+        return textstats.hashed_quality_classifier(
+            _t(spark, sf, "documents")
+        )
+
+    q["quality_classifier_score"] = quality_clf_q
+
+    def pmi_q(spark, sf):
+        """PMI collocation mining (r5 cont.): top-20 adjacent-word pairs
+        by pointwise mutual information, min pair count 5 — exact-int
+        counts, bit-pinned ratio ranking, ln only on the reported score
+        (textstats.pmi_collocations; Church & Hanks 1990)."""
+        return textstats.pmi_collocations(
+            _t(spark, sf, "documents"), min_count=5, top_n=20
+        )
+
+    q["pmi_collocations"] = pmi_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -3999,6 +4022,56 @@ WHERE rn <= 5
         "SELECT passage, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(tf) AS BIGINT) AS n_occ FROM pd GROUP BY 1 "
         "HAVING count(*) >= 2"
+    )
+
+    # hashed linear classifier: the weight fold is EXACT int64 (slot
+    # weights are integers), so summation order never matters; the only
+    # float ops (one division, the hard-sigmoid affine clamp) have a
+    # pinned operation order on both sides.  len() yields BIGINT here and
+    # the Spark side casts size() to long to match; list_sum(BIGINT) →
+    # HUGEINT, cast back (the graph_pagerank rule).
+    _qc_w = (
+        "((CAST(('0x' || substr(sha256(w), 1, 15)) AS BIGINT) % 4096) "
+        "* 2654435761) % 4096 - 2048"
+    )
+    o["quality_classifier_score"] = (
+        f"WITH ws AS (SELECT doc_id, {_words} AS ws FROM documents), "
+        "s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+        "CAST(coalesce(list_sum(list_transform(ws, w -> "
+        f"{_qc_w})), 0) AS BIGINT) AS score_fp FROM ws), "
+        "r AS (SELECT doc_id, n_words, score_fp, CAST(score_fp AS DOUBLE) "
+        "/ CAST(n_words * 4096 AS DOUBLE) AS raw FROM s) "
+        "SELECT doc_id, n_words, score_fp, "
+        "CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE) ELSE round(raw, 6) "
+        "END AS score, "
+        "CASE WHEN n_words = 0 THEN CAST(0.5 AS DOUBLE) ELSE "
+        "round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        "CAST(0.5 AS DOUBLE) + CAST(2 AS DOUBLE) * raw)), 6) END AS prob, "
+        "CASE WHEN score_fp > 0 THEN 1 ELSE 0 END AS label FROM r"
+    )
+
+    # PMI collocations: membership in the top-20 is decided by the RAW
+    # ratio (pinned-order double multiplication/division — bit-identical
+    # across engines, no libm), with ln + round(4) only on the reported
+    # score (the bigram_lm_score precedent); counts exact int64
+    o["pmi_collocations"] = (
+        f"WITH w AS (SELECT {_words} AS ws FROM documents), "
+        "bg AS (SELECT t.w1 AS w1, t.w2 AS w2 FROM (SELECT "
+        "unnest(list_transform(generate_series(1, len(ws) - 1), i -> "
+        "struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS t FROM w)), "
+        "cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2), "
+        "uni AS (SELECT w, count(*) AS cu FROM "
+        "(SELECT unnest(ws) AS w FROM w) GROUP BY 1), "
+        "nb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_big FROM cb), "
+        "nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok FROM uni), "
+        "s AS (SELECT w1, w2, cb, u1.cu AS cu1, u2.cu AS cu2, "
+        "(CAST(cb AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS "
+        "DOUBLE)) / (CAST(n_big AS DOUBLE) * CAST(u1.cu AS DOUBLE) * "
+        "CAST(u2.cu AS DOUBLE)) AS ratio "
+        "FROM cb JOIN uni u1 ON cb.w1 = u1.w JOIN uni u2 ON cb.w2 = u2.w "
+        "CROSS JOIN nb CROSS JOIN nt WHERE cb >= 5) "
+        "SELECT w1, w2, cb, cu1, cu2, round(ln(ratio), 4) AS pmi "
+        "FROM s ORDER BY ratio DESC, w1 ASC, w2 ASC LIMIT 20"
     )
 
     # sliding token windows: integer last-index arithmetic and 1-based

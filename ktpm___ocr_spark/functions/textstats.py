@@ -622,3 +622,153 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def hashed_quality_classifier(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+):
+    """fastText-style hashed linear classifier — model INFERENCE at
+    corpus scale (Joulin et al. 2016; hashing trick per Weinberger et
+    al. 2009). Each word hashes to one of ``buckets`` feature slots; the
+    document score is the mean slot weight; label = sign.
+
+    The weight table is DERIVED, not stored: slot b carries the integer
+    weight ``(b·2654435761) mod buckets − buckets/2`` (Knuth
+    multiplicative scatter), standing in for a broadcast-joined learned
+    vector. What matters for the engine is the execution shape, which is
+    exactly a real model's: per-row feature hashing + weight lookup +
+    linear reduction, all inside one projection.
+
+    Portability: the reduction is an EXACT int64 fold (weights are
+    integers, |w| ≤ buckets/2, so a 10⁶-word doc sums to ≤ 2·10⁹ —
+    order-independent under any partitioning), and the only float ops
+    are one division and the hard-sigmoid affine clamp, each with a
+    pinned operation order so Spark and the SQL oracle are bit-equal.
+
+    Shape at 100 TB: ZERO shuffle — a single narrow projection over the
+    corpus scan (in-row HOF fold), embarrassingly parallel. A learned
+    model would add one broadcast of the |buckets|-row weight table.
+    """
+    knuth = 2_654_435_761
+    half = buckets // 2
+    ws = words_array(F.col(text_col))
+    wsum = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + (F.pmod(word_hash(w), F.lit(buckets)) * knuth) % buckets
+        - half,
+    )
+    # long, not int: the oracle's len() yields BIGINT (portability rule)
+    n = F.size(ws).cast("long")
+    d = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        wsum.alias("score_fp"),
+    )
+    denom = (F.col("n_words") * buckets).cast("double")
+    raw = F.col("score_fp").cast("double") / denom
+    prob = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.lit(0.5) + F.lit(2.0) * raw)
+    )
+    return d.select(
+        id_col,
+        "n_words",
+        "score_fp",
+        F.when(F.col("n_words") == 0, F.lit(0.0))
+        .otherwise(F.round(raw, 6))
+        .alias("score"),
+        F.when(F.col("n_words") == 0, F.lit(0.5))
+        .otherwise(F.round(prob, 6))
+        .alias("prob"),
+        (F.col("score_fp") > 0).cast("int").alias("label"),
+    )
+
+
+def pmi_collocations(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+):
+    """Corpus-wide collocation mining by pointwise mutual information
+    (Church & Hanks 1990): PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2)))
+    over adjacent-word bigrams, keeping pairs seen ≥ ``min_count`` times
+    and returning the top ``top_n``.
+
+    Portability: counts are exact int64; the PMI argument is computed as
+    one pinned-order double expression ((cb·N·N) / (Nb·cu1·cu2)) so the
+    RANKING key (the raw ratio) is bit-identical across engines with no
+    libm dependence — only the reported ``pmi`` value goes through ln,
+    rounded to 4 dp (the precedent: ``bigram_lm_score``).
+
+    Shape at 100 TB: bigram + unigram hash aggregates (map-side partials
+    carry the heavy pairs, so both shuffles are vocabulary-sized, not
+    token-sized); N and Nb are 1-row broadcasts; the unigram relation is
+    vocabulary-sized so it carries NO broadcast hint (AQE decides, the
+    tfidf_top_terms rule); top-n is a distributed TakeOrdered, never an
+    unpartitioned window.
+    """
+    ws = df.select(words_array(F.col(text_col)).alias("ws"))
+    bg = ws.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i.cast("int")).alias("w1"),
+                        F.element_at("ws", (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = ws.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    totals = cb.agg(
+        F.sum("cb").alias("n_big")
+    )  # bigram total; unigram total derives from the unigram table
+    n_tok = uni.agg(F.sum("cu").alias("n_tok"))
+    ratio = (
+        F.col("cb").cast("double")
+        * F.col("n_tok").cast("double")
+        * F.col("n_tok").cast("double")
+    ) / (
+        F.col("n_big").cast("double")
+        * F.col("cu1").cast("double")
+        * F.col("cu2").cast("double")
+    )
+    scored = (
+        cb.filter(F.col("cb") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            "cu1",
+            "cu2",
+            ratio.alias("ratio"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            "cu1",
+            "cu2",
+            F.round(F.log("ratio"), 4).alias("pmi"),
+        )
+    )

@@ -392,3 +392,67 @@ def test_politeness_schedule_spacing_and_sticky_workers(spark):
     assert [r["scheduled_at_s"] for r in a] == [0, 5, 10]
     assert len({r["worker"] for r in a}) == 1  # sticky host→worker
     assert all(0 <= r["worker"] < 4 for r in rows)
+
+
+def test_hashed_quality_classifier_exactness_and_edges(spark):
+    """The weight fold is exact int64: score_fp must equal a Python
+    recomputation word-by-word; empty/NULL docs get the neutral row
+    (n=0, score 0.0, prob 0.5, label 0); label is the sign of the sum."""
+    import hashlib
+
+    from ktpm___ocr_spark.functions.textstats import hashed_quality_classifier
+
+    def w_fp(word: str) -> int:
+        h = int(hashlib.sha256(word.encode()).hexdigest()[:15], 16)
+        return ((h % 4096) * 2654435761) % 4096 - 2048
+
+    rows = [
+        (1, "spark query engine spark"),
+        (2, ""),
+        (3, None),
+        (4, "the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in hashed_quality_classifier(df, "doc_id", "text").collect()
+    }
+    exp1 = sum(w_fp(w) for w in "spark query engine spark".split())
+    assert got[1]["score_fp"] == exp1
+    assert got[1]["n_words"] == 4
+    assert got[1]["label"] == (1 if exp1 > 0 else 0)
+    assert abs(got[1]["score"] - round(exp1 / (4 * 4096), 6)) < 1e-9
+    for d in (2, 3):
+        assert (got[d]["n_words"], got[d]["score_fp"]) == (0, 0)
+        assert got[d]["score"] == 0.0 and got[d]["prob"] == 0.5
+        assert got[d]["label"] == 0
+    # prob is the hard sigmoid of 2·score, clamped to [0, 1]
+    s4 = w_fp("the")
+    assert got[4]["prob"] == round(min(1.0, max(0.0, 0.5 + 2 * s4 / 4096)), 6)
+
+
+def test_pmi_collocations_ranks_true_pair_first(spark):
+    """A pair that always co-occurs ('new york') must out-rank a pair of
+    independently frequent words ('the cat'); min_count filters the
+    long tail; counts are exact."""
+    import math
+
+    from ktpm___ocr_spark.functions.textstats import pmi_collocations
+
+    docs = [(i, "new york " + "the cat " * 3 + "the dog " * 3) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    assert out, "no collocations survived min_count"
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    ny = by_pair[("new", "york")]
+    assert ny["cb"] == 6 and ny["cu1"] == 6 and ny["cu2"] == 6
+    # ranking: 'new york' (perfect association) beats 'the cat'
+    pairs_in_order = [(r["w1"], r["w2"]) for r in out]
+    assert pairs_in_order.index(("new", "york")) < pairs_in_order.index(
+        ("the", "cat")
+    )
+    # pmi value matches the closed form ln(cb·N² / (Nb·cu1·cu2))
+    n_tok = 6 * 14  # 14 words per doc
+    n_big = 6 * 13  # 13 adjacent pairs per doc
+    expect = math.log((6 * n_tok * n_tok) / (n_big * 6 * 6))
+    assert abs(ny["pmi"] - round(expect, 4)) <= 1e-4
