@@ -908,3 +908,102 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# Rabin-style polynomial weights for the 8-char CDC gram, high to low:
+# 31^7 … 31^0 (exact int64 — max codepoint 0x10FFFF · Σ31^k ≈ 3·10^16).
+CDC_WINDOW = 8
+CDC_POW = [31**k for k in range(CDC_WINDOW - 1, -1, -1)]
+CDC_MASK = 64  # boundary when gram hash ≡ 0 (mod 64) → ~64-char chunks
+
+
+def cdc_repeated_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Content-defined chunking + cross-corpus chunk dedup (the LBFS /
+    backup-dedup primitive: Muthitacharoen et al., SOSP 2001; Rabin
+    fingerprints). Character position p (p < len) ends a chunk when the
+    polynomial hash of the 8-char gram ending at p is ≡ 0 (mod 64), so
+    chunk boundaries depend only on LOCAL content — insertions shift
+    at most one chunk, unlike fixed-size blocks. Repeated chunks across
+    ≥ ``min_docs`` docs are the sub-document duplication report.
+
+    Portability: the gram hash is an exact int64 dot product of code
+    points with 31^k weights — no floats, no engine-native hash — and
+    chunk identity travels as (sha256-prefix, length), never raw text.
+
+    Shape at 100 TB: chunking is a ZERO-SHUFFLE in-row HOF cascade over
+    the corpus scan; then exactly two hash aggregates — (chunk, doc)
+    with map-side partials (~n_chars/64 rows in, and chunk-hash keys
+    distribute uniformly by construction — a content hash IS the
+    anti-skew key), and a tiny rollup over the already-unique pairs (no
+    countDistinct Expand); top-n is a distributed TakeOrdered.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(t)
+
+    def gram_hash(p):
+        acc = None
+        for k, w in enumerate(CDC_POW):
+            # long, not int: codepoint · 31^6 already overflows int32
+            term = F.ascii(
+                F.substring(t, p - (CDC_WINDOW - 1) + k, F.lit(1))
+            ).cast("long") * F.lit(w).cast("long")
+            acc = term if acc is None else acc + term
+        return acc
+
+    # boundaries strictly inside the doc (p < len), so the cut list
+    # [0, b1…bk, len] is strictly increasing with no dedup step needed
+    bounds = F.when(
+        ln >= CDC_WINDOW + 1,
+        F.filter(
+            F.sequence(F.lit(CDC_WINDOW), ln - 1),
+            lambda p: gram_hash(p) % CDC_MASK == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.concat(
+        F.array(F.lit(0)).cast("array<int>"), bounds, F.array(ln)
+    )
+    chunks = let(
+        cuts,
+        lambda c: F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: let2(
+                F.element_at(c, i.cast("int")),
+                F.element_at(c, (i + 1).cast("int")),
+                lambda a, b: F.substring(t, a + 1, b - a),
+            ),
+        ),
+    )
+    per_chunk = df.select(
+        F.col(id_col), F.explode(chunks).alias("chunk")
+    ).filter(F.col("chunk") != "")
+    # two-level aggregate instead of countDistinct: level 1 combines
+    # per-(chunk, doc) occurrences MAP-SIDE (a doc repeating its own
+    # chunk never crosses the network twice), level 2 is a tiny rollup
+    # over already-unique (chunk, doc) rows — no Expand, no distinct
+    # shuffle
+    per_doc = (
+        per_chunk.select(
+            F.col(id_col),
+            F.substring(F.sha2(F.col("chunk"), 256), 1, 16).alias("chunk_hash"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+        )
+        .groupBy("chunk_hash", "chunk_len", id_col)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    agg = (
+        per_doc.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_occ").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return agg.orderBy(
+        F.desc("n_docs"), F.desc("n_occ"), F.asc("chunk_hash")
+    ).limit(top_n)

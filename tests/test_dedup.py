@@ -315,3 +315,78 @@ def test_excise_overlapping_windows_union_coverage(spark):
     got = {r["doc_id"]: r for r in excise_repeated_passages(df, n=8, min_docs=2).collect()}
     assert got[1]["clean_text"] == "x y"
     assert got[1]["n_removed"] == 9
+
+
+def test_cdc_chunks_boundaries_are_content_defined(spark):
+    """CDC invariant: a prefix insertion shifts chunk CONTENT only near
+    the edit — chunks well past the edit are identical (they re-appear
+    in both docs), which fixed-size blocking would destroy. Also pins
+    the exact boundary rule against a Python recomputation."""
+    from ktpm___ocr_spark.operators.dedup import (
+        CDC_MASK,
+        CDC_POW,
+        CDC_WINDOW,
+        cdc_repeated_chunks,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [
+        "alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "theta", "iota", "kappa", "sigma",
+    ]
+    base = " ".join(rng.choice(vocab) for _ in range(400))
+    edited = "INSERTED PREFIX " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id int, text string"
+    )
+
+    def py_chunks(t):
+        bounds = [
+            p
+            for p in range(CDC_WINDOW, len(t))
+            if sum(
+                ord(t[p - CDC_WINDOW + k]) * CDC_POW[k]
+                for k in range(CDC_WINDOW)
+            )
+            % CDC_MASK
+            == 0
+        ]
+        cuts = [0] + bounds + [len(t)]
+        return [t[a:b] for a, b in zip(cuts, cuts[1:]) if t[a:b]]
+
+    c1, c2 = py_chunks(base), py_chunks(edited)
+    shared = set(c1) & set(c2)
+    assert shared, "content-defined boundaries must realign after an edit"
+
+    out = cdc_repeated_chunks(df, min_docs=2, top_n=50).collect()
+    assert out, "shared chunks must be reported"
+    import hashlib
+
+    expected = set()
+    from collections import Counter
+
+    occ = Counter(c1) + Counter(c2)
+    for ch in shared:
+        expected.add(
+            (hashlib.sha256(ch.encode()).hexdigest()[:16], len(ch), 2, occ[ch])
+        )
+    got = {
+        (r["chunk_hash"], r["chunk_len"], r["n_docs"], r["n_occ"])
+        for r in out
+    }
+    # every engine-reported repeated chunk is a truly shared chunk
+    assert got == set(sorted(expected, key=lambda x: (-x[2], -x[3], x[0]))[:50])
+
+
+def test_cdc_chunks_degenerate_inputs(spark):
+    """Empty, NULL, and sub-window docs produce no chunks but never
+    error (ANSI mode: sequence() direction, substring bounds)."""
+    from ktpm___ocr_spark.operators.dedup import cdc_repeated_chunks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "tiny"), (4, "exactly8"), (5, "exactly9!")],
+        "doc_id int, text string",
+    )
+    assert cdc_repeated_chunks(df, min_docs=1, top_n=50).count() == 3

@@ -255,3 +255,19 @@ def test_politeness_schedule_no_shuffle_beyond_budget(spark, sf01_dir):
         budget_plan,
         sched_plan,
     )
+
+
+def test_cdc_chunks_two_exchange_takeordered(spark, sf01_dir):
+    """CDC chunk dedup must compile to exactly two hash Exchanges (the
+    (chunk, doc) combine and the tiny pair rollup), with map-side
+    partial aggregates before each, a TakeOrderedAndProject for top-n
+    (never a global sort), and no countDistinct Expand."""
+    plan = _plan(em.queries()["cdc_chunks"](spark, sf01_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Expand" not in plan, plan
+    first_exchange = plan.index("Exchange")
+    assert "partial_count" in plan[first_exchange:], plan
+    assert "partial_count" in plan[:first_exchange] or "HashAggregate" in plan[
+        :first_exchange
+    ], plan
