@@ -315,6 +315,10 @@ def operator_bench(spark) -> dict[str, float]:
         "excise_passages_clean",
         "politeness_schedule",
         "bpe_merge_table",
+        "quality_classifier_score",
+        "pmi_collocations",
+        "cdc_chunks",
+        "layout_reading_order",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -77,3 +77,82 @@ def pagerank_fp(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    ``(node, n_triangles)``, top ``top_n`` by count (ties by node).
+
+    Algorithm: degree-ordered edge orientation (Schank 2007; the
+    MapReduce formulation of Suri & Vassilvitskii, WWW 2011). Each
+    undirected edge is oriented from the endpoint that is LOWER in the
+    total order (degree, node) to the higher one; every triangle then
+    has exactly one source vertex with out-edges to the other two, so
+    one wedge join (r ⋈ r on the middle vertex) plus one closing
+    equi-join counts each triangle exactly once — no de-dup by 6
+    permutations, no counting a triangle 3×.
+
+    Shape at 100 TB: the orientation bounds each vertex's out-degree by
+    O(sqrt(m)) on graphs of bounded arboricity — the wedge join's
+    fan-out is capped where a naive src-grouped join would explode on
+    hubs. All three joins are equi-joins on node keys (never cartesian);
+    degrees come from one partial-aggregated shuffle; AQE's skew split
+    handles residual hot vertices. Counting is exact and integer-only,
+    so the result is bit-identical across engines and partitionings.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))  # drops self-loops and NULLs
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    r = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    wedge = (
+        r.alias("x")
+        .join(r.alias("y"), F.col("x.v") == F.col("y.u"))
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.v").alias("v"),
+            F.col("y.v").alias("w"),
+        )
+    )
+    closing = r.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tri = wedge.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+    ).select("u", "v", "w")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.orderBy(
+        F.desc("n_triangles"), F.asc("node")
+    ).limit(top_n)

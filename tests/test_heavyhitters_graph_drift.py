@@ -131,3 +131,54 @@ def test_drift_on_hash_split_documents_is_small(spark, docs):
         abs(abs(b["p_a"] - b["p_b"]) - b["absdiff"]) <= 2e-6 for b in bins
     )
     assert sum(b["n_a"] for b in bins) > 0 and sum(b["n_b"] for b in bins) > 0
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {a,b,c,d} has 4 triangles, every node in 3 of them; a
+    pendant edge adds none. Duplicate/reversed/self-loop inputs must
+    not change the count."""
+    from ktpm___ocr_spark.operators.graph import triangle_counts
+
+    k4 = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+    ]
+    noisy = k4 + [(y, x) for x, y in k4] + [("a", "a"), ("d", "e")]
+    df = spark.createDataFrame(noisy, "src string, dst string")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, top_n=10).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_each_triangle_once(spark):
+    """A single triangle yields exactly one count per node (not 3 or 6
+    — the orientation must not over-count permutations)."""
+    from ktpm___ocr_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z")], "src string, dst string"
+    )
+    got = triangle_counts(df, top_n=10).collect()
+    assert sorted((r["node"], r["n_triangles"]) for r in got) == [
+        ("x", 1), ("y", 1), ("z", 1)
+    ]
+
+
+def test_triangle_counts_no_cartesian_and_equi_joins(spark):
+    """All three joins must compile to equi-joins — never a cartesian
+    product (the 100 TB guarantee of the oriented-wedge algorithm)."""
+    from ktpm___ocr_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z")], "src string, dst string"
+    )
+    plan = (
+        triangle_counts(df, top_n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
