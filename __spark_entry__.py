@@ -2452,7 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def cdc_q(spark, sf):
         """Content-defined chunking + chunk-level dedup (r5 cont.):
-        Rabin-style 8-char gram hash cuts each doc into ~64-char
+        Rabin-style 8-char gram hash cuts each doc into ~61-char
         content-addressed chunks (boundaries survive insertions, unlike
         fixed blocks); chunks repeated across ≥2 docs, top-50
         (dedup.cdc_repeated_chunks; Muthitacharoen et al. 2001)."""
@@ -2526,6 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         2011)."""
         from ktpm___ocr_spark.operators.graph import triangle_counts
 
+        from ktpm___ocr_spark.functions.exprutil import let
+
         d = _t(spark, sf, "documents")
         tk = F.slice(
             F.array_sort(
@@ -2534,21 +2536,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             1,
             8,
         )
-        pairs = d.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        tk,
-                        lambda x: F.transform(
-                            F.filter(tk, lambda y: y > x),
-                            lambda y: F.struct(
-                                x.alias("src"), y.alias("dst")
-                            ),
-                        ),
-                    )
+        # let-bound: tokenize+sort+slice runs ONCE per row — referencing
+        # tk directly inside both HOF lambdas would re-inline the whole
+        # cascade up to 9x per row (CollapseProject; no CSE inside HOFs)
+        pair_list = let(
+            tk,
+            lambda tkb: F.flatten(
+                F.transform(
+                    tkb,
+                    lambda x: F.transform(
+                        F.filter(tkb, lambda y: y > x),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
                 )
-            ).alias("p")
-        ).select("p.src", "p.dst")
+            ),
+        )
+        pairs = d.select(F.explode(pair_list).alias("p")).select(
+            "p.src", "p.dst"
+        )
         return triangle_counts(pairs, top_n=20)
 
     q["graph_triangles"] = triangles_q
@@ -2559,33 +2564,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         one row per (cohort_week, offset_week) with active-user count,
         cohort size, and retention ratio. Pure integer day/week
         arithmetic — no engine week-origin (Mon/Sun) hazard. Shuffles:
-        per-user min + per-(user,week) distinct both key on user_id (one
-        co-partitioned exchange each), then the matrix aggregate is
-        vocab-sized and the cohort-size join is broadcast."""
+        ONE user-keyed exchange (min-week and the distinct active-week
+        set come from the same groupBy, the set via collect_set — no
+        separate (user, week)-keyed distinct that would force a second
+        events shuffle and a join exchange), then a matrix-sized rollup;
+        cohort_size needs no second pass over users — every user is by
+        construction active at offset 0, so it's the offset-0 row's
+        n_users, read via a window max over the matrix itself (a join
+        back would recompute the whole user aggregate for the second
+        branch)."""
+        from pyspark.sql import Window as W
         ev = _t(spark, sf, "events").select(
             "user_id",
             F.datediff(
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
             ).alias("day"),
         )
-        first = ev.groupBy("user_id").agg(
-            F.expr("min(day) div 7").cast("long").alias("cohort_week")
+        per_user = ev.groupBy("user_id").agg(
+            F.expr("min(day) div 7").cast("long").alias("cohort_week"),
+            F.collect_set(F.expr("day div 7").cast("long")).alias("weeks"),
         )
-        active = ev.select(
-            "user_id", F.expr("day div 7").cast("long").alias("w")
-        ).distinct()
         matrix = (
-            active.join(first, "user_id")
-            .groupBy(
-                "cohort_week", (F.col("w") - F.col("cohort_week")).alias("offset_week")
+            per_user.select("cohort_week", F.explode("weeks").alias("w"))
+            .select(
+                "cohort_week",
+                (F.col("w") - F.col("cohort_week")).alias("offset_week"),
             )
+            .groupBy("cohort_week", "offset_week")
             .agg(F.count(F.lit(1)).alias("n_users"))
         )
-        size = first.groupBy("cohort_week").agg(
-            F.count(F.lit(1)).alias("cohort_size")
-        )
+        size = F.max(
+            F.when(F.col("offset_week") == 0, F.col("n_users"))
+        ).over(W.partitionBy("cohort_week"))
         return (
-            matrix.join(F.broadcast(size), "cohort_week")
+            matrix.withColumn("cohort_size", size)
             .select(
                 "cohort_week",
                 "offset_week",
@@ -4232,20 +4244,25 @@ WHERE rn <= 5
     )
 
     # content-defined chunking: the boundary decision is an exact-int64
-    # polynomial gram hash (codepoints · 31^k, mod 64), positions 1-based
-    # in both engines; boundaries are strictly < len so the cut list is
-    # strictly increasing with no dedup step; chunk identity travels as
-    # (sha256 prefix, length), never raw text
+    # polynomial gram hash (codepoints · 31^k, mod CDC_MOD — a prime,
+    # NEVER a power of two: 31² ≡ 1 mod 64 would make every
+    # single-character run boundary at each position), positions 1-based
+    # in both engines, plus the same run guard as the Spark side (a
+    # constant 8-gram never cuts); boundaries are strictly < len so the
+    # cut list is strictly increasing with no dedup step; chunk identity
+    # travels as (sha256 prefix, length), never raw text
     # CAST to BIGINT mirrors the Spark side's .cast("long"): codepoint ·
     # 31^6 overflows INT32 in both engines
     _cdc_h = " + ".join(
-        f"CAST(ascii(substr(t, p - {7 - k}, 1)) AS BIGINT) * {31 ** (7 - k)}"
-        for k in range(8)
+        f"CAST(ascii(substr(t, p - {7 - k}, 1)) AS BIGINT) * {dd.CDC_POW[k]}"
+        for k in range(dd.CDC_WINDOW)
     )
+    _cdc_guard = "substr(t, p - 7, 8) <> repeat(substr(t, p, 1), 8)"
     o["cdc_chunks"] = (
         "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
         "b AS (SELECT doc_id, t, list_filter(generate_series(8, "
-        f"length(t) - 1), p -> ({_cdc_h}) % 64 = 0) AS bnd FROM d), "
+        f"length(t) - 1), p -> ({_cdc_h}) % {dd.CDC_MOD} = 0 "
+        f"AND {_cdc_guard}) AS bnd FROM d), "
         "c AS (SELECT doc_id, t, list_concat(list_concat([0], bnd), "
         "[length(t)]) AS cuts FROM b), "
         "ch AS (SELECT doc_id, unnest(list_transform(generate_series(1, "

@@ -914,7 +914,14 @@ def simhash_near_dups(
 # 31^7 … 31^0 (exact int64 — max codepoint 0x10FFFF · Σ31^k ≈ 3·10^16).
 CDC_WINDOW = 8
 CDC_POW = [31**k for k in range(CDC_WINDOW - 1, -1, -1)]
-CDC_MASK = 64  # boundary when gram hash ≡ 0 (mod 64) → ~64-char chunks
+# Boundary when gram hash ≡ 0 (mod 61) → ~61-char expected chunks. The
+# modulus must NOT be 64 (or any power of two): 31² ≡ 1 (mod 64), so
+# Σ31^k for k=0..7 ≡ 4·31+4 = 128 ≡ 0 — EVERY 8-char run of one
+# character would hash to 0 and explode into per-character chunks.
+# 61 is prime and 31's powers mod 61 have no short period; a constant
+# gram hashes to 12·c mod 61, zero only for codepoints ≡ 0 (mod 61),
+# which the explicit run guard below excludes anyway.
+CDC_MOD = 61
 
 
 def cdc_repeated_chunks(
@@ -927,10 +934,14 @@ def cdc_repeated_chunks(
     """Content-defined chunking + cross-corpus chunk dedup (the LBFS /
     backup-dedup primitive: Muthitacharoen et al., SOSP 2001; Rabin
     fingerprints). Character position p (p < len) ends a chunk when the
-    polynomial hash of the 8-char gram ending at p is ≡ 0 (mod 64), so
-    chunk boundaries depend only on LOCAL content — insertions shift
-    at most one chunk, unlike fixed-size blocks. Repeated chunks across
-    ≥ ``min_docs`` docs are the sub-document duplication report.
+    polynomial hash of the 8-char gram ending at p is ≡ 0 (mod 61) and
+    the gram is not a single-character run (constant grams carry no
+    distinguishing content — LBFS-style implementations likewise refuse
+    to cut inside low-entropy runs, else '=====' divider lines and
+    dot-leaders shatter into per-character chunks). Boundaries therefore
+    depend only on LOCAL content — insertions shift at most one chunk,
+    unlike fixed-size blocks. Repeated chunks across ≥ ``min_docs`` docs
+    are the sub-document duplication report.
 
     Portability: the gram hash is an exact int64 dot product of code
     points with 31^k weights — no floats, no engine-native hash — and
@@ -938,7 +949,7 @@ def cdc_repeated_chunks(
 
     Shape at 100 TB: chunking is a ZERO-SHUFFLE in-row HOF cascade over
     the corpus scan; then exactly two hash aggregates — (chunk, doc)
-    with map-side partials (~n_chars/64 rows in, and chunk-hash keys
+    with map-side partials (~n_chars/61 rows in, and chunk-hash keys
     distribute uniformly by construction — a content hash IS the
     anti-skew key), and a tiny rollup over the already-unique pairs (no
     countDistinct Expand); top-n is a distributed TakeOrdered.
@@ -963,6 +974,14 @@ def cdc_repeated_chunks(
             acc = term if acc is None else acc + term
         return acc
 
+    def is_run(cs, p):
+        last = F.element_at(cs, p.cast("int"))
+        acc = None
+        for k in range(CDC_WINDOW - 1):
+            eq = F.element_at(cs, (p - (CDC_WINDOW - 1) + k).cast("int")) == last
+            acc = eq if acc is None else acc & eq
+        return acc
+
     # boundaries strictly inside the doc (p < len), so the cut list
     # [0, b1…bk, len] is strictly increasing with no dedup step needed;
     # let-binding evaluates the codepoint array ONCE per row (Catalyst
@@ -973,7 +992,7 @@ def cdc_repeated_chunks(
             codes,
             lambda cs: F.filter(
                 F.sequence(F.lit(CDC_WINDOW), ln - 1),
-                lambda p: gram_hash(cs, p) % CDC_MASK == 0,
+                lambda p: (gram_hash(cs, p) % CDC_MOD == 0) & ~is_run(cs, p),
             ),
         ),
     ).otherwise(F.array().cast("array<int>"))

@@ -323,7 +323,7 @@ def test_cdc_chunks_boundaries_are_content_defined(spark):
     in both docs), which fixed-size blocking would destroy. Also pins
     the exact boundary rule against a Python recomputation."""
     from ktpm___ocr_spark.operators.dedup import (
-        CDC_MASK,
+        CDC_MOD,
         CDC_POW,
         CDC_WINDOW,
         cdc_repeated_chunks,
@@ -350,8 +350,9 @@ def test_cdc_chunks_boundaries_are_content_defined(spark):
                 ord(t[p - CDC_WINDOW + k]) * CDC_POW[k]
                 for k in range(CDC_WINDOW)
             )
-            % CDC_MASK
+            % CDC_MOD
             == 0
+            and t[p - CDC_WINDOW : p] != t[p - 1] * CDC_WINDOW
         ]
         cuts = [0] + bounds + [len(t)]
         return [t[a:b] for a, b in zip(cuts, cuts[1:]) if t[a:b]]
@@ -390,3 +391,22 @@ def test_cdc_chunks_degenerate_inputs(spark):
         "doc_id int, text string",
     )
     assert cdc_repeated_chunks(df, min_docs=1, top_n=50).count() == 3
+
+
+def test_cdc_chunks_low_entropy_runs_never_shatter(spark):
+    """Regression: with a power-of-two modulus, 31^2 === 1 (mod 64) made
+    every 8+ run of one character (dot leaders, '=====' dividers,
+    space runs) hash to 0 at EVERY position — per-character chunk
+    explosion and a skewed junk key. The prime modulus + constant-gram
+    guard must yield ZERO boundaries inside any single-character run."""
+    from ktpm___ocr_spark.operators.dedup import cdc_repeated_chunks
+
+    runs = ["." * 200, "=" * 200, " " * 200, "z" * 200, chr(61) * 200]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(runs)], "doc_id int, text string"
+    )
+    out = cdc_repeated_chunks(df, min_docs=1, top_n=500).collect()
+    # each run doc must survive as ONE whole-document chunk (len 200),
+    # never shatter into tiny chunks
+    assert all(r["chunk_len"] == 200 for r in out), out
+    assert len(out) <= len(runs)

@@ -271,3 +271,15 @@ def test_cdc_chunks_two_exchange_takeordered(spark, sf01_dir):
     assert "partial_count" in plan[:first_exchange] or "HashAggregate" in plan[
         :first_exchange
     ], plan
+
+
+def test_cohort_retention_single_scan_three_exchanges(spark, sf01_dir):
+    """Cohort retention must read events ONCE (min-week and the active
+    week set come from the same user-keyed aggregate; cohort size is a
+    window max over the tiny matrix, not a join that re-derives the
+    user aggregate) and shuffle exactly 3 times: users, matrix, window."""
+    plan = _plan(em.queries()["cohort_retention"](spark, sf01_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, plan

@@ -124,3 +124,44 @@ def test_binned_percentiles_clamps_outliers(spark):
     r = binned_percentiles(df, "value", "grp", lo=0.0, hi=10.0).first()
     assert 0.0 < r["p50_est"] <= 10.0  # median lands in-range
     assert r["p95_est"] == 10.0  # outlier clamped to the top edge
+
+
+def test_cohort_retention_semantics(spark, tmp_path):
+    """Pin cohort assignment, offset math, ret_ratio, and the
+    cohort_size == offset-0 invariant on hand-built events (independent
+    of the DuckDB oracle, which shares authorship with the query):
+    - u1: first event day 0 (week 0), active weeks 0 and 2
+    - u2: first event day 6 (week 0), active week 0 only
+    - u3: first event day 8 (week 1), active weeks 1 and 2 (offset 0, 1)
+    """
+    import datetime
+
+    import __spark_entry__ as em
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(days=0, hours=5), 1),
+        (2, base + datetime.timedelta(days=15), 1),          # week 2
+        (3, base + datetime.timedelta(days=6), 2),           # week 0
+        (4, base + datetime.timedelta(days=8), 3),           # week 1
+        (5, base + datetime.timedelta(days=8, hours=3), 3),  # same week
+        (6, base + datetime.timedelta(days=16), 3),          # week 2
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["cohort_week"], r["offset_week"]): (
+            r["n_users"], r["cohort_size"], r["ret_ratio"]
+        )
+        for r in em.queries()["cohort_retention"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),   # u1+u2 in cohort 0
+        (0, 2): (1, 2, 0.5),   # only u1 returns in week 2
+        (1, 0): (1, 1, 1.0),   # u3 in cohort 1
+        (1, 1): (1, 1, 1.0),   # u3 active the next week
+    }
