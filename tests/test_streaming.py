@@ -274,3 +274,26 @@ def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
     }
     assert got2 == got
     assert spark.read.parquet(text_dir + "/*").count() == 5
+
+
+def test_stream_sessions_equals_batch(spark, events_dir):
+    """Streaming session_window (merging windows + watermark) must
+    produce exactly the batch sessionization on the same finite input
+    (complete mode keeps open sessions, so the sets match 1:1)."""
+    from ktpm___ocr_spark.streaming.jobs import stream_sessions
+
+    stream = _run_stream(
+        spark,
+        stream_sessions(read_events_stream(spark, events_dir), gap="5 minutes"),
+        "sessions",
+    )
+    batch = sessionize_batch(spark.read.parquet(events_dir), gap="5 minutes")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in stream.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want and got
