@@ -319,6 +319,9 @@ def operator_bench(spark) -> dict[str, float]:
         "pmi_collocations",
         "cdc_chunks",
         "layout_reading_order",
+        "graph_triangles",
+        "cohort_retention",
+        "snapshot_diff",
     ]
     out: dict[str, float] = {}
     for name in headline:
