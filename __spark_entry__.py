@@ -2574,11 +2574,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back would recompute the whole user aggregate for the second
         branch)."""
         from pyspark.sql import Window as W
-        ev = _t(spark, sf, "events").select(
-            "user_id",
-            F.datediff(
-                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("day"),
+        ev = (
+            _t(spark, sf, "events")
+            .select(
+                "user_id",
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                ).alias("day"),
+            )
+            # timestamp-less events carry no cohort information; dropped
+            # EXPLICITLY on both sides (collect_set would silently drop
+            # a NULL week here while the oracle's DISTINCT kept it)
+            .filter(F.col("day").isNotNull())
         )
         per_user = ev.groupBy("user_id").agg(
             F.expr("min(day) div 7").cast("long").alias("cohort_week"),
@@ -4280,14 +4287,19 @@ WHERE rn <= 5
     # travels as (sha256 prefix, length), never raw text
     # CAST to BIGINT mirrors the Spark side's .cast("long"): codepoint ·
     # 31^6 overflows INT32 in both engines
+    _cdc_w = dd.CDC_WINDOW  # every constant below derives from it
     _cdc_h = " + ".join(
-        f"CAST(ascii(substr(t, p - {7 - k}, 1)) AS BIGINT) * {dd.CDC_POW[k]}"
-        for k in range(dd.CDC_WINDOW)
+        f"CAST(ascii(substr(t, p - {_cdc_w - 1 - k}, 1)) AS BIGINT) "
+        f"* {dd.CDC_POW[k]}"
+        for k in range(_cdc_w)
     )
-    _cdc_guard = "substr(t, p - 7, 8) <> repeat(substr(t, p, 1), 8)"
+    _cdc_guard = (
+        f"substr(t, p - {_cdc_w - 1}, {_cdc_w}) "
+        f"<> repeat(substr(t, p, 1), {_cdc_w})"
+    )
     o["cdc_chunks"] = (
         "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
-        "b AS (SELECT doc_id, t, list_filter(generate_series(8, "
+        f"b AS (SELECT doc_id, t, list_filter(generate_series({_cdc_w}, "
         f"length(t) - 1), p -> ({_cdc_h}) % {dd.CDC_MOD} = 0 "
         f"AND {_cdc_guard}) AS bnd FROM d), "
         "c AS (SELECT doc_id, t, list_concat(list_concat([0], bnd), "
@@ -4330,9 +4342,12 @@ WHERE rn <= 5
         "ORDER BY n_triangles DESC, node ASC LIMIT 20"
     )
 
-    # snapshot diff: identical rev2 synthesis (modular id classes), the
-    # NULL-text sentinel chr(1)||'null' mirrors the Spark side's \x01
-    # literal, and both engines' concat/|| propagate NULL identically
+    # snapshot diff: identical rev2 synthesis (modular id classes); the
+    # hash input namespaces NULL ('N') apart from real text ('T'||text)
+    # exactly like the Spark side, so the NULL marker is unreachable by
+    # content; both engines' concat/|| propagate NULL identically in the
+    # rev2 edit
+    _snap_mark = "CASE WHEN text IS NULL THEN 'N' ELSE 'T' || text END"
     o["snapshot_diff"] = (
         "WITH oldd AS (SELECT doc_id, text FROM documents), "
         "newd AS (SELECT doc_id, CASE WHEN doc_id % 13 = 5 THEN "
@@ -4340,10 +4355,8 @@ WHERE rn <= 5
         "WHERE doc_id % 17 <> 3 "
         "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
         "FROM documents WHERE doc_id % 19 = 7), "
-        "o2 AS (SELECT doc_id, sha256(coalesce(text, chr(1) || 'null')) "
-        "AS so FROM oldd), "
-        "n2 AS (SELECT doc_id, sha256(coalesce(text, chr(1) || 'null')) "
-        "AS sn FROM newd), "
+        f"o2 AS (SELECT doc_id, sha256({_snap_mark}) AS so FROM oldd), "
+        f"n2 AS (SELECT doc_id, sha256({_snap_mark}) AS sn FROM newd), "
         "j AS (SELECT coalesce(o2.doc_id, n2.doc_id) AS doc_id, so, sn "
         "FROM o2 FULL OUTER JOIN n2 ON o2.doc_id = n2.doc_id) "
         "SELECT doc_id, CASE WHEN so IS NULL THEN 'added' "
@@ -4358,7 +4371,7 @@ WHERE rn <= 5
     # division wrapped in an explicit DOUBLE cast
     o["cohort_retention"] = (
         "WITH ev AS (SELECT user_id, date_diff('day', DATE '2024-01-01', "
-        "CAST(ts AS DATE)) AS day FROM events), "
+        "CAST(ts AS DATE)) AS day FROM events WHERE ts IS NOT NULL), "
         "f AS (SELECT user_id, CAST(min(day) // 7 AS BIGINT) AS cohort_week "
         "FROM ev GROUP BY user_id), "
         "a AS (SELECT DISTINCT user_id, CAST(day // 7 AS BIGINT) AS w "

@@ -32,16 +32,18 @@ def snapshot_diff(
     Returns ``(doc_id, status)`` for every non-identical document —
     ``added`` (only in new), ``removed`` (only in old), ``changed``
     (both sides, different sha256(text)); unchanged docs are dropped.
-    NULL text hashes as a sentinel distinct from any real text (so
-    NULL→'' edits still register as changes).
+    The hash input namespaces NULL ('N') apart from real text
+    ('T' || text), so the NULL marker is UNREACHABLE by any document
+    content and NULL→'' edits register as changes.
     """
 
     def keyed(df: DataFrame, side: str) -> DataFrame:
+        marked = (
+            F.when(F.col(text_col).isNull(), F.lit("N"))
+            .otherwise(F.concat(F.lit("T"), F.col(text_col)))
+        )
         return df.select(
-            F.col(id_col),
-            F.sha2(F.coalesce(F.col(text_col), F.lit("\x01null")), 256).alias(
-                f"_sha_{side}"
-            ),
+            F.col(id_col), F.sha2(marked, 256).alias(f"_sha_{side}")
         )
 
     o = keyed(old, "old")

@@ -122,9 +122,10 @@ def stream_sessions(
     """Streaming sessionization: the same ``session_window`` aggregate
     as ``sessionize_batch``, with an event-time watermark so merged
     session state is bounded — a session closes (and emits, in append
-    mode) once the watermark passes its end + gap. State per open
-    session only; late events inside the watermark still MERGE into
-    their session (session windows grow, unlike tumbling windows).
+    mode) once the watermark passes its end, where end is already
+    last-event + gap. State per open session only; late events inside
+    the watermark still MERGE into their session (session windows grow,
+    unlike tumbling windows).
     """
     return (
         events.withWatermark(ts, watermark)

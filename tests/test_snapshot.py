@@ -29,22 +29,24 @@ def test_snapshot_diff_identical_snapshots_empty(spark):
 
 
 def test_snapshot_diff_plan_shuffles_hashes_not_payloads(spark):
-    """The join input must be the 2-column (id, sha) projections — the
-    text column may not survive past the hash projection into the
-    exchange."""
+    """The sha2 projections must sit BELOW the full-outer join in the
+    optimized tree (children print under their parent), i.e. each side
+    is reduced to (id, sha) before any join/exchange — a regression
+    that joined payloads and hashed afterwards would print its
+    sha2-Project ABOVE the Join line and fail the ordering assertion.
+    (Asserting on the Join line's own text is vacuous: logical Join
+    nodes never print child output columns.)"""
     old = _df(spark, [(1, "a" * 1000)])
     new = _df(spark, [(1, "b" * 1000)])
-    plan = (
+    lines = (
         snapshot_diff(old, new)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
+        .splitlines()
     )
-    import re
-
-    for ln in plan.splitlines():
-        if "Join" in ln:
-            assert "text" not in ln
-    # the projections feeding the join carry only id + sha
-    assert "sha2" in plan
-    assert "CartesianProduct" not in plan
+    join_idx = [i for i, ln in enumerate(lines) if "Join FullOuter" in ln]
+    assert join_idx, lines
+    sha_idx = [i for i, ln in enumerate(lines) if "sha2(" in ln]
+    # both sides hash below (= inside the children of) the join; none above
+    assert len(sha_idx) >= 2 and all(i > join_idx[0] for i in sha_idx), lines

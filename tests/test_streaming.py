@@ -297,3 +297,72 @@ def test_stream_sessions_equals_batch(spark, events_dir):
         for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_stream_sessions_watermark_merge_and_close(spark, tmp_path):
+    """The APPEND-mode properties complete mode can't see: a late
+    in-watermark event MERGES into its open session, the session emits
+    only once the watermark passes its end, and still-open sessions are
+    withheld. Three availableNow runs over one checkpoint:
+      1. u1@00:00, u1@00:01 -> watermark <0, NOTHING emits (session
+         held open across the run boundary)
+      2. u1@00:02 (late vs run 1's data but inside the watermark,
+         so it MERGES) + clock u9@00:30 -> watermark advances to
+         00:20 > u1 session end 00:07, and availableNow's trailing
+         no-data batch evicts+emits (u1, 00:00, n=3) within this run
+      3. clock u9@00:31 -> emits nothing more; u9's own session
+         (end 00:36 > watermark 00:21) stays open and is withheld
+    """
+    import datetime
+
+    from ktpm___ocr_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        stream_sessions,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mk(minute, user):
+        return (
+            user * 100 + minute,
+            t0 + datetime.timedelta(minutes=minute),
+            user,
+            "view",
+            1.0,
+            "{}",
+        )
+
+    batches = [
+        [mk(0, 1), mk(1, 1)],
+        [mk(2, 1), mk(30, 9)],
+        [mk(31, 9)],
+    ]
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            str(src_dir / f"b{i}.parquet")
+        )
+        q = (
+            stream_sessions(
+                # each write lands in its own subdir -> glob one level
+                read_events_stream(spark, str(src_dir) + "/*/"),
+                gap="5 minutes",
+                watermark="10 minutes",
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if i == 0:
+            assert not emitted, emitted  # open session must be withheld
+    got = [(r["user_id"], r["session_start"], r["n_events"]) for r in emitted]
+    assert got == [(1, t0, 3)], got  # late event merged; u9 still open
