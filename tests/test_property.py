@@ -319,3 +319,99 @@ def test_bpe_encode_roundtrip_and_merge_count(spark, words, k):
     merges = [(r["lhs"], r["rhs"]) for r in mt]
     for r in bpe_encode(df, merges).collect():
         assert r["tokens_canon"].replace(" ", "") == r["word"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered wedge counting must equal brute-force triangle
+    enumeration on arbitrary small graphs (self-loops and duplicate /
+    reversed edges included in the input)."""
+    from itertools import combinations
+
+    from ktpm___ocr_spark.operators.graph import triangle_counts
+
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges] or [("x", "x")],
+        "src string, dst string",
+    )
+    got = {
+        int(r["node"]): r["n_triangles"]
+        for r in triangle_counts(df, top_n=1000).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.dictionaries(
+        st.integers(0, 20),
+        st.one_of(st.none(), st.text(max_size=8)),
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.integers(0, 20),
+        st.one_of(st.none(), st.text(max_size=8)),
+        max_size=12,
+    ),
+)
+def test_snapshot_diff_matches_dict_model(spark, old, new):
+    """snapshot_diff must agree with the obvious dict-diff model for
+    arbitrary (id -> text|NULL) snapshots, including NULL vs '' vs
+    literal sentinel-looking text."""
+    from ktpm___ocr_spark.operators.snapshot import snapshot_diff
+
+    want = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+
+    def df(d):
+        return spark.createDataFrame(
+            list(d.items()) or [(999999, "sentinel-empty")],
+            "doc_id long, text string",
+        )
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(df(old), df(new)).collect()
+    }
+    if not old and not new:
+        assert got == {}  # both placeholder rows identical
+    else:
+        want2 = dict(want)
+        # account for the placeholder row when exactly one side is empty
+        if not old:
+            want2[999999] = "removed" if 999999 not in new else want2.get(999999)
+        if not new:
+            want2[999999] = "added" if 999999 not in old else want2.get(999999)
+        assert got == {k: v for k, v in want2.items() if v}
