@@ -322,6 +322,8 @@ def operator_bench(spark) -> dict[str, float]:
         "graph_triangles",
         "cohort_retention",
         "snapshot_diff",
+        "mixture_plan",
+        "kmv_rank_sketch",
     ]
     out: dict[str, float] = {}
     for name in headline:

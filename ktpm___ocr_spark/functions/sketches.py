@@ -200,3 +200,84 @@ def hdr_quantiles(
         .agg(F.min("lb").alias("est_centi"))
     )
     return hit.select("label", "target_rank", "est_centi")
+
+
+KMV_K = 256  # bottom-k sample size
+
+
+def kmv_sample(
+    df: DataFrame, value_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Bottom-k (KMV) uniform sample: the ``k`` rows whose
+    ``sha256(key)`` is smallest, as ``(h, v)``.
+
+    This is the deterministic, MERGE-ORDER-INDEPENDENT rank sketch:
+    bottom-k of a union equals bottom-k of the per-part bottom-k's, in
+    any grouping and any arrival order — the lattice property KLL /
+    t-digest lack (their compactions depend on merge order), and the
+    reason this sketch is oracle-portable bit-for-bit. Classic KMV /
+    bottom-k sketch (Beyer et al., SIGMOD'07; Cohen & Kaplan,
+    PODC'07), here used for rank/quantile estimation over the induced
+    uniform sample rather than distinct counting.
+
+    ``key_col`` must be unique per row (sha256 then never ties, so the
+    bottom-k set — and everything downstream — is a pure function of
+    the row set). Plan shape at 100 TB: ``orderBy(h).limit(k)`` is
+    TakeOrderedAndProject — each task keeps its own k smallest rows and
+    ONLY those k·P rows meet at the final merge; no full sort, no
+    shuffle of the corpus. NULL values are excluded (a null observation
+    is no observation, as in hdr_cells)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.sha2(F.col(key_col).cast("string"), 256).alias("h"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = KMV_K,
+    qs: tuple[tuple[str, int, int], ...] = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+) -> DataFrame:
+    """Quantile estimates from the bottom-k sample: for each
+    ``(label, num, den)`` the estimate is the value at 1-based rank
+    ``ceil(n·num/den)`` of the sample sorted by value — exact integer
+    arithmetic end-to-end, so the output ``(label, n_sample,
+    est_value)`` is bit-identical in any engine given the same rows.
+    ``n_sample = min(k, rows)``; an empty input yields NULL estimates
+    (guarded — ``element_at`` would reject rank 0).
+
+    The sample is ≤ k rows, so the sort-to-array aggregate is free;
+    the only distributed work is the TakeOrdered in kmv_sample."""
+    s = kmv_sample(df, value_col, key_col, k)
+    a = s.agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = None
+    for label, num, den in qs:
+        t = a.select(
+            F.lit(label).alias("label"),
+            F.col("n").alias("n_sample"),
+            F.when(F.col("n") <= 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.element_at(
+                    "vs", F.expr(f"CAST((n * {num} + {den} - 1) div {den} AS INT)")
+                )
+            )
+            .alias("est_value"),
+        )
+        out = t if out is None else out.unionByName(t)
+    return out

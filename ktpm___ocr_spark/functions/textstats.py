@@ -772,3 +772,72 @@ def pmi_collocations(
             F.round(F.log("ratio"), 4).alias("pmi"),
         )
     )
+
+
+MIXTURE_Q6 = 1_000_000  # fixed-point denominator for epoch factors
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    budget: int = 1_000_000,
+    max_epochs_q6: int = 4 * MIXTURE_Q6,
+) -> DataFrame:
+    """Static data-mixture planning — the step between corpus statistics
+    and a training run: given a total token ``budget`` and a uniform
+    per-domain target, compute each domain's sampling plan:
+    ``(domain, tokens, quota, epochs_q6, planned_tokens)``.
+
+    ``quota``     = budget div n_domains (the uniform target share);
+    ``epochs_q6`` = min(max_epochs_q6, quota·10^6 div tokens) — the
+                    repeat factor in fixed-point millionths (<10^6 means
+                    downsampling, >10^6 means the domain is repeated for
+                    multiple epochs, capped so small domains are never
+                    over-repeated — the SlimPajama/DoReMi-style static
+                    heuristic);
+    ``planned_tokens`` = tokens·epochs_q6 div 10^6 (≤ quota, short only
+                    where the cap binds; single-pass — no redistribution
+                    of capped domains' unused quota, documented choice).
+
+    All-integer arithmetic (bigint div), so the plan is bit-identical
+    across engines and partitionings. ``planned_tokens`` uses the exact
+    decomposition (tokens div 10^6)·e + ((tokens mod 10^6)·e) div 10^6
+    so a 10^13-token domain times a 4·10^6 fixed-point factor cannot
+    overflow int64; the epochs division is safe while quota < 9·10^12
+    (a per-domain quota beyond any real budget).
+
+    Shape at 100 TB: ONE domain-keyed partial-aggregated shuffle of
+    (domain, count) pairs; n_domains joins in as a broadcast 1-row
+    relation (no driver-side count action); everything downstream is
+    domain-table-sized (10^5–10^7 rows).
+    """
+    t = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            token_count_ws(F.col(text_col)).cast("long").alias("_tok"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("_tok").alias("tokens"))
+    )
+    nd = t.agg(F.count(F.lit(1)).alias("_nd"))
+    quota = F.expr(f"CAST({int(budget)} AS BIGINT) div _nd")
+    epochs = F.when(F.col("tokens") <= 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(int(max_epochs_q6)).cast("long"),
+            F.expr(f"(quota * {MIXTURE_Q6}) div tokens"),
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(nd))
+        .withColumn("quota", quota)
+        .withColumn("epochs_q6", epochs)
+        .withColumn(
+            "planned_tokens",
+            F.expr(
+                f"(tokens div {MIXTURE_Q6}) * epochs_q6 + "
+                f"((tokens % {MIXTURE_Q6}) * epochs_q6) div {MIXTURE_Q6}"
+            ),
+        )
+        .select("domain", "tokens", "quota", "epochs_q6", "planned_tokens")
+    )

@@ -199,3 +199,66 @@ def test_hdr_nulls_are_not_observations(spark):
     assert sum(r["cnt"] for r in cells) == 2
     got = {r["label"]: r["target_rank"] for r in hdr_quantiles(vals, "v").collect()}
     assert got["p50"] == 1  # n=2, not 4
+
+
+# ---------------- KMV bottom-k rank sketch ----------------
+
+
+def test_kmv_quantiles_match_python_model(spark):
+    """On an input smaller than k the sample IS the dataset, so each
+    quantile must equal the exact ceil-rank order statistic."""
+    from ktpm___ocr_spark.functions.sketches import kmv_quantiles
+
+    rows = [(i, (i * 37) % 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r["label"]: r for r in kmv_quantiles(df, "v", "id").collect()}
+    vs = sorted(v for _, v in rows)
+    for label, num, den in (
+        ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10), ("p99", 99, 100),
+    ):
+        assert got[label]["n_sample"] == 50
+        assert got[label]["est_value"] == vs[-(-50 * num // den) - 1], label
+
+
+def test_kmv_sample_is_merge_order_independent(spark):
+    """The defining lattice property: the bottom-k set is a pure
+    function of the row set — identical under any partitioning (the
+    stand-in for any merge tree / arrival order)."""
+    from ktpm___ocr_spark.functions.sketches import kmv_sample
+
+    rows = [(i, i % 17) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    base = sorted(map(tuple, kmv_sample(df, "v", "id", k=64).collect()))
+    for parts in (1, 7, 32):
+        got = sorted(
+            map(tuple, kmv_sample(df.repartition(parts), "v", "id", k=64).collect())
+        )
+        assert got == base, f"bottom-k changed under repartition({parts})"
+
+
+def test_kmv_empty_and_null_inputs(spark):
+    """Empty input -> NULL estimates with n_sample 0; NULL values are
+    not observations."""
+    from ktpm___ocr_spark.functions.sketches import kmv_quantiles
+
+    empty = spark.createDataFrame([], "id long, v long")
+    for r in kmv_quantiles(empty, "v", "id").collect():
+        assert r["n_sample"] == 0 and r["est_value"] is None
+
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None)], "id long, v long"
+    )
+    out = {r["label"]: r for r in kmv_quantiles(withnull, "v", "id").collect()}
+    assert all(r["n_sample"] == 1 and r["est_value"] == 5 for r in out.values())
+
+
+def test_kmv_sample_plans_as_take_ordered(spark, sf001_dir):
+    """The distributed piece must be TakeOrderedAndProject (per-task
+    bottom-k, k·P-row final merge) — never a global Sort Exchange of
+    the corpus."""
+    from ktpm___ocr_spark.functions.sketches import kmv_sample
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = kmv_sample(df, "n_chars", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -456,3 +456,52 @@ def test_pmi_collocations_ranks_true_pair_first(spark):
     n_big = 6 * 13  # 13 adjacent pairs per doc
     expect = math.log((6 * n_tok * n_tok) / (n_big * 6 * 6))
     assert abs(ny["pmi"] - round(expect, 4)) <= 1e-4
+
+
+def test_mixture_plan_quota_cap_and_exact_arithmetic(spark):
+    """Static mixture planner: a small domain is repeated up to the 4-epoch
+    cap, a large domain is downsampled to its quota, and planned_tokens
+    follows the exact bigint decomposition (never exceeds quota, exact at
+    the cap)."""
+    from ktpm___ocr_spark.functions.textstats import MIXTURE_Q6, mixture_plan
+
+    rows = (
+        # 'small': 2 docs x 5 tokens = 10 tokens -> capped at 4 epochs
+        [(i, "a b c d e", "small") for i in range(2)]
+        # 'big': 40 docs x 25 tokens = 1000 tokens -> quota 100 binds
+        + [(100 + i, ("w " * 25).strip(), "big") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["domain"]: r for r in mixture_plan(df, budget=200).collect()}
+
+    small, big = out["small"], out["big"]
+    assert small["tokens"] == 10 and big["tokens"] == 1000
+    assert small["quota"] == 100 and big["quota"] == 100  # 200 div 2 domains
+    # small: uncapped factor would be 100/10 = 10 epochs -> capped at 4
+    assert small["epochs_q6"] == 4 * MIXTURE_Q6
+    assert small["planned_tokens"] == 40  # 10 tokens x 4 epochs, exact
+    # big: downsampled, factor = 100*10^6 div 1000 = 0.1 in Q6
+    assert big["epochs_q6"] == MIXTURE_Q6 // 10
+    assert big["planned_tokens"] == 100  # exactly the quota
+    # python int model of the decomposition agrees row-for-row
+    for r in out.values():
+        t, e = r["tokens"], r["epochs_q6"]
+        assert r["planned_tokens"] == (t // MIXTURE_Q6) * e + (
+            (t % MIXTURE_Q6) * e
+        ) // MIXTURE_Q6
+
+
+def test_mixture_plan_zero_token_domain(spark):
+    """An all-empty domain gets epochs_q6 = 0 (no div-by-zero) and plans
+    zero tokens; other domains are unaffected."""
+    from ktpm___ocr_spark.functions.textstats import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "", "empty"), (2, None, "empty"), (3, "x y z", "ok")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["domain"]: r for r in mixture_plan(df, budget=100).collect()}
+    assert out["empty"]["tokens"] == 0
+    assert out["empty"]["epochs_q6"] == 0
+    assert out["empty"]["planned_tokens"] == 0
+    assert out["ok"]["tokens"] == 3 and out["ok"]["planned_tokens"] > 0
