@@ -2675,6 +2675,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_rank_sketch"] = kmv_q
 
+    def code_switch_q(spark, sf):
+        """Line-level code-switch detection: per-line stopword langid
+        over trimmed non-empty lines, per-doc counts + dominant lang +
+        <80 %-dominance mixture flag — zero shuffles, all in-row HOFs
+        with the line-language array let-bound
+        (textstats.code_switch_stats)."""
+        return textstats.code_switch_stats(_t(spark, sf, "documents"))
+
+    q["code_switch_lines"] = code_switch_q
+
     # ---------------- driver-window rotation ----------------
     # The correctness driver samples the FIRST 50 entries of this dict in
     # insertion order (verified: CORRECTNESS_r01/r02 checked-set == registry
@@ -2734,11 +2744,13 @@ _DRIVER_WINDOW = [
     "cohort_retention",
     "snapshot_diff",
     # -- (b''') final round-5 additions (static data-mixture planner,
-    # KMV bottom-k rank sketch) — text_domains and length_histogram
-    # (✓2 stable trivial aggregations, re-gated locally every round)
-    # moved to the r6 pool to make room --
+    # KMV bottom-k rank sketch, line-level code-switch detection) —
+    # text_domains, length_histogram, and corpus_split_counts (✓2
+    # stable trivial aggregations, re-gated locally every round) moved
+    # to the r6 pool to make room --
     "mixture_plan",
     "kmv_rank_sketch",
+    "code_switch_lines",
     # -- (c continued) code changed in r5 after last green --
     "dedup_clusters",
     "dedup_simhash",
@@ -2757,7 +2769,6 @@ _DRIVER_WINDOW = [
     "text_repetition",
     "text_gopher_gate",
     "corpus_top_terms",
-    "corpus_split_counts",
     # -- (e) anchors: two-round-stable regression canaries --
     "p1_sha256",
     "c1_chunk_roundtrip",
@@ -4702,6 +4713,34 @@ WHERE rn <= 5
         "SELECT label, n AS n_sample, CASE WHEN n <= 0 THEN NULL ELSE "
         "CAST(vs[CAST((n * num + den - 1) // den AS INT)] AS BIGINT) END "
         "AS est_value FROM a, t ORDER BY label"
+    )
+
+    # line-level code-switch detection: same space-only trim, per-line
+    # \s+ word split, and integer cross-multiplied 3/25 stopword
+    # threshold as textstats.code_switch_stats; dominant language via
+    # the same fixed lexicographic CASE order (en < und < unk).
+    _cs_words = "list_filter(string_split_regex(x, '\\s+'), w -> w <> '')"
+    o["code_switch_lines"] = (
+        "WITH l AS (SELECT doc_id, list_filter(list_transform("
+        "string_split(lower(coalesce(text, '')), chr(10)), x -> trim(x)), "
+        "x -> x <> '') AS lines FROM documents), "
+        "g AS (SELECT doc_id, list_transform(lines, x -> CASE "
+        f"WHEN len({_cs_words}) = 0 THEN 'und' "
+        f"WHEN 25 * len(list_filter({_cs_words}, w -> list_contains("
+        f"{_stop}, w))) >= 3 * len({_cs_words}) THEN 'en' "
+        "ELSE 'unk' END) AS langs FROM l), "
+        "c AS (SELECT doc_id, CAST(len(langs) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(langs, x -> x = 'en')) AS BIGINT) AS n_en, "
+        "CAST(len(list_filter(langs, x -> x = 'und')) AS BIGINT) AS n_und, "
+        "CAST(len(list_filter(langs, x -> x = 'unk')) AS BIGINT) AS n_unk "
+        "FROM g) "
+        "SELECT doc_id, n_lines, n_en, n_und, n_unk, "
+        "CASE WHEN n_lines = 0 THEN 'und' "
+        "WHEN n_en = greatest(n_en, n_und, n_unk) THEN 'en' "
+        "WHEN n_und = greatest(n_en, n_und, n_unk) THEN 'und' "
+        "ELSE 'unk' END AS dom_lang, "
+        "CAST(CASE WHEN n_lines > 0 AND greatest(n_en, n_und, n_unk) * 5 "
+        "< n_lines * 4 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed FROM c"
     )
 
     return o

@@ -324,6 +324,7 @@ def operator_bench(spark) -> dict[str, float]:
         "snapshot_diff",
         "mixture_plan",
         "kmv_rank_sketch",
+        "code_switch_lines",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -841,3 +841,90 @@ def mixture_plan(
         )
         .select("domain", "tokens", "quota", "epochs_q6", "planned_tokens")
     )
+
+
+def _line_lang(line: Column) -> Column:
+    """Per-line stopword-ratio heuristic over an already-lowercased,
+    trimmed line: 'und' (no words — tab/CR-only lines survive the
+    space-only trim), 'en' (stopword ratio >= 3/25 = 0.12, compared by
+    integer cross-multiplication so there is no float boundary), else
+    'unk'. Same threshold as the doc-level lang_id."""
+    from ktpm___ocr_spark.functions.exprutil import let
+
+    words = F.filter(F.split(line, WORD_SPLIT), lambda w: w != F.lit(""))
+    return let(
+        words,
+        lambda ws: F.when(F.size(ws) == 0, F.lit("und"))
+        .when(
+            F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS))) * 25
+            >= F.size(ws) * 3,
+            F.lit("en"),
+        )
+        .otherwise(F.lit("unk")),
+    )
+
+
+def code_switch_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Line-level code-switch (language-mixture) detection: classify
+    every non-empty line with the stopword heuristic, then summarize
+    per doc — ``(id, n_lines, n_en, n_und, n_unk, dom_lang,
+    is_mixed)``. ``dom_lang`` is the argmax line language with
+    lexicographic tie-break (en < und < unk, a fixed CASE order);
+    ``is_mixed`` = 1 when the dominant language covers < 80 % of lines
+    (dom·5 < n_lines·4, exact integers). The doc-level lang_id answers
+    "what language is this doc"; this answers "is it ONE language" —
+    the signal that routes mixed documents to segmentation instead of a
+    single-language pipeline.
+
+    Shape at 100 TB: zero shuffles, zero joins — line split, per-line
+    classification, and the per-doc counts are all in-row higher-order
+    functions; the langs array is let-bound so each doc is tokenized
+    once no matter how many aggregates read it."""
+    from ktpm___ocr_spark.functions.exprutil import let
+
+    lines = F.filter(
+        F.transform(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\n"),
+            lambda ln: F.trim(ln),
+        ),
+        lambda ln: ln != F.lit(""),
+    )
+    langs = F.transform(lines, _line_lang)
+
+    def summarize(lg: Column) -> Column:
+        counts = F.struct(
+            F.size(lg).cast("long").alias("nl"),
+            F.size(F.filter(lg, lambda x: x == F.lit("en"))).cast("long").alias("ne"),
+            F.size(F.filter(lg, lambda x: x == F.lit("und"))).cast("long").alias("nd"),
+            F.size(F.filter(lg, lambda x: x == F.lit("unk"))).cast("long").alias("nk"),
+        )
+
+        def body(c: Column) -> Column:
+            mx = F.greatest(c["ne"], c["nd"], c["nk"])
+            dom = (
+                F.when(c["nl"] == 0, F.lit("und"))
+                .when(c["ne"] == mx, F.lit("en"))
+                .when(c["nd"] == mx, F.lit("und"))
+                .otherwise(F.lit("unk"))
+            )
+            mixed = (
+                F.when((c["nl"] > 0) & (mx * 5 < c["nl"] * 4), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            return F.struct(
+                c["nl"].alias("n_lines"),
+                c["ne"].alias("n_en"),
+                c["nd"].alias("n_und"),
+                c["nk"].alias("n_unk"),
+                dom.alias("dom_lang"),
+                mixed.alias("is_mixed"),
+            )
+
+        return let(counts, body)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), let(langs, summarize).alias("_s")
+    ).select("doc_id", "_s.*")

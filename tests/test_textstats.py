@@ -505,3 +505,49 @@ def test_mixture_plan_zero_token_domain(spark):
     assert out["empty"]["epochs_q6"] == 0
     assert out["empty"]["planned_tokens"] == 0
     assert out["ok"]["tokens"] == 3 and out["ok"]["planned_tokens"] > 0
+
+
+def test_code_switch_line_classification_and_mixture_flag(spark):
+    """Planted docs: an all-English doc is unmixed; a half-and-half doc
+    is mixed with the lexicographic tie-break ('en' wins at 50/50); a
+    tab-only line classifies 'und' (survives the space-only trim); NULL
+    text yields an empty, unmixed 'und' doc."""
+    from ktpm___ocr_spark.functions.textstats import code_switch_stats
+
+    en = "the cat is on the mat"  # stopword-heavy -> 'en'
+    xx = "zxqv gkrm plwt"  # no stopwords -> 'unk'
+    df = spark.createDataFrame(
+        [
+            (1, "\n".join([en, en, en, en])),
+            (2, "\n".join([en, en, xx, xx])),
+            (3, "\n".join([en, "\t", xx])),
+            (4, None),
+            (5, "   \n  \n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in code_switch_stats(df).collect()}
+
+    assert out[1]["n_lines"] == 4 and out[1]["n_en"] == 4
+    assert out[1]["dom_lang"] == "en" and out[1]["is_mixed"] == 0
+
+    # 50/50 split: dominant covers 2/4 < 80% -> mixed; tie-break -> 'en'
+    assert out[2]["n_en"] == 2 and out[2]["n_unk"] == 2
+    assert out[2]["dom_lang"] == "en" and out[2]["is_mixed"] == 1
+
+    assert out[3]["n_und"] == 1  # the tab-only line
+    assert out[3]["n_lines"] == 3 and out[3]["is_mixed"] == 1
+
+    for d in (4, 5):  # NULL text / space-only lines -> no lines at all
+        assert out[d]["n_lines"] == 0
+        assert out[d]["dom_lang"] == "und" and out[d]["is_mixed"] == 0
+
+
+def test_code_switch_plan_has_no_exchange(spark, sf001_dir):
+    """The whole operator is in-row HOFs over one scan — any Exchange
+    in the plan means a regression to explode+groupBy."""
+    from ktpm___ocr_spark.functions.textstats import code_switch_stats
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = code_switch_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
