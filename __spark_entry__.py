@@ -2704,12 +2704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # entry whose code or oracle changed in round 5 after its last green
 # (a5_percentiles_binned oracle DECIMAL cast; multimodal decode_media
 # self-healing probe -> ppm/stub entries; inverted_index persist; kmeans
-# _centroid_update refactor), (d) 28 of the 38 entries last checked in r2
-# (27 below + a5_percentiles_binned under (c); the deferred-to-r6 pool is
-# ✓1✓2 double-green trivial scalar projections — 9 P-family +
-# dedup_minhash_sig, plus a4_success_failed/text_tokens/text_langid/
+# _centroid_update refactor), (d) the entries last checked in r2 that
+# still fit after the landing-round swaps — the deferred-to-r6 pool is
+# ✓-green trivial scalar projections/aggregations: 9 P-family +
+# dedup_minhash_sig, a4_success_failed/text_tokens/text_langid/
 # text_fingerprint/salted_user_value/value_outliers/robust_outliers
-# swapped out late for the (b'') additions — all re-gated
+# (swapped for the (b'') additions) and text_domains/length_histogram/
+# corpus_split_counts (swapped for the (b''') additions) — all re-gated
 # locally every round), and (e) 11 stable anchors.
 _DRIVER_WINDOW = [
     # -- (a) red row fixed this round --
@@ -3033,6 +3034,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # ---- text analysis (shared formulations; see textstats.py) ----
+    # Corpus contract for every \s/\S-based oracle below: Java regex
+    # counts vertical tab \x0B as \s, RE2 (DuckDB) does not — a document
+    # containing \x0B would tokenize differently in the two engines. The
+    # test corpus generator never emits \x0B (asserted in
+    # tests/test_entry.py); a corpus that can would need the explicit
+    # class [ \t\n\x0b\f\r] on both sides.
     _words = (
         "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
         "w -> w <> '')"

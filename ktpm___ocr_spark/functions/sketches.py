@@ -260,24 +260,38 @@ def kmv_quantiles(
     (guarded — ``element_at`` would reject rank 0).
 
     The sample is ≤ k rows, so the sort-to-array aggregate is free;
-    the only distributed work is the TakeOrdered in kmv_sample."""
+    the only distributed work is the TakeOrdered in kmv_sample — the
+    targets join in by EXPLODING a literal array against the one-row
+    aggregate (the Spark spelling of the oracle's ``FROM a, t``), NOT
+    by a per-target union, which would re-plan the TakeOrdered (and
+    re-scan the corpus) once per quantile."""
     s = kmv_sample(df, value_col, key_col, k)
     a = s.agg(
         F.sort_array(F.collect_list("v")).alias("vs"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    out = None
-    for label, num, den in qs:
-        t = a.select(
-            F.lit(label).alias("label"),
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("label"),
+                F.lit(num).cast("long").alias("num"),
+                F.lit(den).cast("long").alias("den"),
+            )
+            for label, num, den in qs
+        ]
+    )
+    return (
+        a.select("vs", "n", F.explode(targets).alias("t"))
+        .select(
+            F.col("t.label").alias("label"),
             F.col("n").alias("n_sample"),
             F.when(F.col("n") <= 0, F.lit(None).cast("long"))
             .otherwise(
                 F.element_at(
-                    "vs", F.expr(f"CAST((n * {num} + {den} - 1) div {den} AS INT)")
+                    "vs",
+                    F.expr("CAST((n * t.num + t.den - 1) div t.den AS INT)"),
                 )
             )
             .alias("est_value"),
         )
-        out = t if out is None else out.unionByName(t)
-    return out
+    )

@@ -808,10 +808,14 @@ def mixture_plan(
     (a per-domain quota beyond any real budget).
 
     Shape at 100 TB: ONE domain-keyed partial-aggregated shuffle of
-    (domain, count) pairs; n_domains joins in as a broadcast 1-row
-    relation (no driver-side count action); everything downstream is
-    domain-table-sized (10^5–10^7 rows).
+    (domain, count) pairs, and the source is scanned ONCE — n_domains
+    comes from a single-partition window over the already-aggregated
+    domain table (domain-table-sized, 10^5–10^7 rows, one trivial
+    task), NOT from a separate ``t.agg()`` branch, which would re-plan
+    the aggregate's lineage and scan the corpus a second time.
     """
+    from pyspark.sql.window import Window
+
     t = (
         df.select(
             F.col(domain_col).alias("domain"),
@@ -820,7 +824,6 @@ def mixture_plan(
         .groupBy("domain")
         .agg(F.sum("_tok").alias("tokens"))
     )
-    nd = t.agg(F.count(F.lit(1)).alias("_nd"))
     quota = F.expr(f"CAST({int(budget)} AS BIGINT) div _nd")
     epochs = F.when(F.col("tokens") <= 0, F.lit(0).cast("long")).otherwise(
         F.least(
@@ -829,7 +832,9 @@ def mixture_plan(
         )
     )
     return (
-        t.crossJoin(F.broadcast(nd))
+        t.withColumn(
+            "_nd", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+        )
         .withColumn("quota", quota)
         .withColumn("epochs_q6", epochs)
         .withColumn(

@@ -161,3 +161,18 @@ def test_driver_window_invariants():
     assert len(set(win)) == 50
     assert set(win) <= set(QUERIES)
     assert list(QUERIES)[:50] == win
+
+
+def test_corpus_has_no_vertical_tab():
+    """Java regex \\s includes vertical tab \\x0B, RE2 (DuckDB) \\s does
+    not — every \\s/\\S-based oracle assumes the corpus never contains
+    one (corpus-contract comment above _words in oracle_sql)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet' "
+            "WHERE contains(text, chr(11))"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} docs contain \\x0B"

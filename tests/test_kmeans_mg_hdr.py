@@ -262,3 +262,21 @@ def test_kmv_sample_plans_as_take_ordered(spark, sf001_dir):
     plan = kmv_sample(df, "n_chars", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_kmv_quantiles_plans_one_sample_one_scan(spark, sf001_dir):
+    """The 5 quantile targets must share ONE bottom-k sample (explode of
+    a literal targets array against the one-row aggregate) — a
+    per-target union would re-plan the TakeOrdered and re-scan the
+    corpus once per quantile."""
+    from ktpm___ocr_spark.functions.sketches import kmv_quantiles
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = (
+        kmv_quantiles(df, "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("FileScan") == 1, plan

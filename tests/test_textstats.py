@@ -551,3 +551,14 @@ def test_code_switch_plan_has_no_exchange(spark, sf001_dir):
     df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
     plan = code_switch_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_mixture_plan_scans_source_once(spark, sf001_dir):
+    """n_domains must come from the already-aggregated domain table
+    (single-partition window), not a separate agg branch — that branch
+    re-plans the lineage and scans the corpus twice."""
+    from ktpm___ocr_spark.functions.textstats import mixture_plan
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = mixture_plan(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
