@@ -2209,6 +2209,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hdr_cells"] = stream_hdr_q
 
+    def stream_dedup_wm_q(spark, sf):
+        """Engine-state streaming dedup (dropDuplicatesWithinWatermark):
+        first row per (user_id, event_type) emitted, later duplicates
+        suppressed by state bounded to the watermark horizon. Key
+        columns only, so the finite drain ≡ batch SELECT DISTINCT
+        (payload survival is arrival-order-dependent, the key set is
+        not). Append mode — dedup emits first occurrences immediately."""
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        return _drain_events_stream(
+            spark,
+            sf,
+            sj.stream_dedup_within_watermark,
+            "stream_dedup_wm",
+            mode="append",
+        )
+
+    q["stream_dedup_wm"] = stream_dedup_wm_q
+
     def ann_recall_ivf_q(spark, sf):
         """ANN quality self-eval: per-query overlap of IVF top-5 (nprobe
         3 of 8 clusters) against the exact brute-force top-5 — the recall
@@ -2752,6 +2771,7 @@ _DRIVER_WINDOW = [
     "mixture_plan",
     "kmv_rank_sketch",
     "code_switch_lines",
+    "stream_dedup_wm",
     # -- (c continued) code changed in r5 after last green --
     "dedup_clusters",
     "dedup_simhash",
@@ -2763,7 +2783,6 @@ _DRIVER_WINDOW = [
     "text_lm_score",
     "semantic_dup_clusters",
     "token_budget",
-    "w4_sliding_windows",
     "stratified_sample",
     "full_outer_counts",
     "text_pii_redact",
@@ -4748,6 +4767,12 @@ WHERE rn <= 5
         "ELSE 'unk' END AS dom_lang, "
         "CAST(CASE WHEN n_lines > 0 AND greatest(n_en, n_und, n_unk) * 5 "
         "< n_lines * 4 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed FROM c"
+    )
+
+    # streaming dedup emits key columns only, so the finite-input drain
+    # is exactly batch DISTINCT regardless of arrival order.
+    o["stream_dedup_wm"] = (
+        "SELECT DISTINCT user_id, event_type FROM events"
     )
 
     return o

@@ -244,3 +244,31 @@ def incremental_dedup_stream(
             _release_checkpoint(ckpt)  # one batch's blocks (r5 review)
 
     return src.writeStream.foreachBatch(process).trigger(availableNow=True)
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in state-store streaming dedup: emit the FIRST row per key
+    set and suppress later duplicates, with dedup state evicted once the
+    event-time watermark passes (``dropDuplicatesWithinWatermark``) —
+    the complement of ``dedup_upsert_stream``: that pattern dedups
+    against an external store with unbounded history, this one holds
+    state inside the engine, bounded to keys seen within the watermark
+    horizon — the exactly-once feed when no external MERGE target
+    exists. A duplicate arriving AFTER its key's state is evicted
+    re-emits; that is the documented trade (bounded state) and is
+    pinned in tests.
+
+    Emits only the key columns: WHICH duplicate's payload survives is
+    arrival-order-dependent, the key set is not — so the finite-input
+    drain equals batch ``SELECT DISTINCT keys`` exactly.
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )

@@ -366,3 +366,95 @@ def test_stream_sessions_watermark_merge_and_close(spark, tmp_path):
             assert not emitted, emitted  # open session must be withheld
     got = [(r["user_id"], r["session_start"], r["n_events"]) for r in emitted]
     assert got == [(1, t0, 3)], got  # late event merged; u9 still open
+
+
+def test_stream_dedup_within_watermark_equals_distinct(spark, events_dir):
+    """On a finite single-batch input the engine-state dedup must emit
+    exactly batch SELECT DISTINCT over the key columns."""
+    from ktpm___ocr_spark.streaming.jobs import stream_dedup_within_watermark
+
+    q = (
+        stream_dedup_within_watermark(read_events_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("select * from dedup_wm").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want and got
+    # append-mode emit is one row per distinct key, no duplicates
+    assert spark.sql("select count(*) from dedup_wm").first()[0] == len(want)
+
+
+def test_stream_dedup_watermark_suppress_then_evict(spark, tmp_path):
+    """The state-lifecycle properties: a duplicate key in a LATER run
+    inside the watermark is suppressed; after the watermark passes and
+    evicts the key's state, the same key RE-emits (the documented
+    bounded-state trade). Three availableNow runs over one checkpoint:
+      1. u1 'view'@00:00 -> emits (1, view)
+      2. u1 'view'@00:02 (dup, within watermark) + clock u9@00:30 ->
+         only (9, view) emits; the duplicate is suppressed. Watermark
+         after this run is 00:20, past 00:00+10m, so u1's state evicts
+      3. u1 'view'@00:31 (same key, state gone) -> RE-emits (1, view)
+    """
+    import datetime
+
+    from ktpm___ocr_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        stream_dedup_within_watermark,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mk(minute, user):
+        return (
+            user * 1000 + minute,
+            t0 + datetime.timedelta(minutes=minute),
+            user,
+            "view",
+            1.0,
+            "{}",
+        )
+
+    batches = [[mk(0, 1)], [mk(2, 1), mk(30, 9)], [mk(31, 1)]]
+    src_dir = tmp_path / "dedup_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    per_run: list[list] = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            str(src_dir / f"b{i}.parquet")
+        )
+        emitted: list = []
+        q = (
+            stream_dedup_within_watermark(
+                read_events_stream(spark, str(src_dir) + "/*/"),
+                watermark="10 minutes",
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid, sink=emitted: sink.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        per_run.append([(r["user_id"], r["event_type"]) for r in emitted])
+
+    assert per_run[0] == [(1, "view")]
+    assert sorted(per_run[1]) == [(9, "view")]  # duplicate suppressed
+    assert per_run[2] == [(1, "view")]  # state evicted -> re-emits
