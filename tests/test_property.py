@@ -415,3 +415,147 @@ def test_snapshot_diff_matches_dict_model(spark, old, new):
         if not new:
             want2[999999] = "added" if 999999 not in old else want2.get(999999)
         assert got == {k: v for k, v in want2.items() if v}
+
+
+# ---------------- round-5 late additions: model-based properties ----------------
+
+from ktpm___ocr_spark.functions.sketches import kmv_quantiles  # noqa: E402
+from ktpm___ocr_spark.functions.textstats import (  # noqa: E402
+    EN_STOPWORDS,
+    MIXTURE_Q6,
+    code_switch_stats,
+    mixture_plan,
+)
+
+# constrained alphabet: ASCII words + space/tab/newline so the Python-re
+# model and Java regex agree on what \s is (unicode whitespace classes
+# diverge between the engines and are out of the corpus contract anyway)
+_cs_word = st.sampled_from(EN_STOPWORDS + ["zxqv", "gkrm", "data", "x1"])
+_cs_line = st.lists(_cs_word, min_size=0, max_size=6).map(" ".join)
+_cs_text = st.lists(_cs_line, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_cs_text, min_size=1, max_size=6))
+def test_code_switch_matches_python_model(spark, texts):
+    import re
+
+    def line_lang(line):
+        ws = [w for w in re.split(r"\s+", line) if w]
+        if not ws:
+            return "und"
+        hits = sum(1 for w in ws if w in EN_STOPWORDS)
+        return "en" if 25 * hits >= 3 * len(ws) else "unk"
+
+    def model(text):
+        lines = [
+            ln for ln in (
+                s.strip(" ") for s in (text or "").lower().split("\n")
+            ) if ln
+        ]
+        langs = [line_lang(ln) for ln in lines]
+        n, ne = len(langs), langs.count("en")
+        nd, nk = langs.count("und"), langs.count("unk")
+        mx = max(ne, nd, nk) if langs else 0
+        dom = (
+            "und" if n == 0
+            else "en" if ne == mx
+            else "und" if nd == mx
+            else "unk"
+        )
+        return (n, ne, nd, nk, dom, 1 if n > 0 and mx * 5 < n * 4 else 0)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_en"], r["n_und"], r["n_unk"],
+            r["dom_lang"], r["is_mixed"],
+        )
+        for r in code_switch_stats(df).collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(texts)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), _cs_text),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=10_000),
+)
+def test_mixture_plan_matches_python_model(spark, rows, budget):
+    import re
+
+    toks: dict[str, int] = {}
+    for src, text in rows:
+        toks[src] = toks.get(src, 0) + len(re.findall(r"\S+", text))
+    nd = len(toks)
+    quota = budget // nd
+    want = {}
+    for dom, t in toks.items():
+        e = 0 if t <= 0 else min(4 * MIXTURE_Q6, quota * MIXTURE_Q6 // t)
+        planned = (t // MIXTURE_Q6) * e + ((t % MIXTURE_Q6) * e) // MIXTURE_Q6
+        want[dom] = (t, quota, e, planned)
+
+    df = spark.createDataFrame(
+        [(i, text, src) for i, (src, text) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    # model parity AND partitioning invariance in one property
+    for parts in (1, 5):
+        got = {
+            r["domain"]: (
+                r["tokens"], r["quota"], r["epochs_q6"], r["planned_tokens"]
+            )
+            for r in mixture_plan(df.repartition(parts), budget=budget).collect()
+        }
+        assert got == want, parts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=40,
+        ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_kmv_quantiles_match_python_model(spark, vals, k):
+    """With random k (possibly < n) the model picks the k keys with the
+    smallest sha256(str(id)) hex and reads ceil-ranks off the sorted
+    sample values — must match the engine bit-for-bit."""
+    import hashlib
+
+    rows = list(enumerate(vals))
+    byhash = sorted(rows, key=lambda r: hashlib.sha256(str(r[0]).encode()).hexdigest())
+    sample = sorted(v for _, v in byhash[:k])
+    n = len(sample)
+    want = {}
+    for label, num, den in (
+        ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10), ("p99", 99, 100),
+    ):
+        want[label] = (n, sample[-(-n * num // den) - 1])
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["label"]: (r["n_sample"], r["est_value"])
+        for r in kmv_quantiles(df, "v", "id", k=k).collect()
+    }
+    assert got == want
