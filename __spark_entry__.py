@@ -2228,6 +2228,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup_wm"] = stream_dedup_wm_q
 
+    def kmv_grouped_q(spark, sf):
+        """Per-domain KMV rank sketch (bottom-64 per source) — the
+        scale-safe two-phase min-k: JVM sha2, a bounded mapInPandas
+        pre-prune (k rows per group per partition, any arrival order),
+        then ONE grouped aggregate over the ≤ k·P-row pruned relation —
+        never a corpus-wide group-partitioned window sort, which would
+        serialize each mega-domain through one task
+        (sketches.kmv_grouped_quantiles; exactness via the min-k
+        lattice, partitioning-invariant by property test)."""
+        from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "source",
+            textstats.token_count_ws(F.col("text")).cast("long").alias("tok"),
+        )
+        return kmv_grouped_quantiles(d, "tok", "doc_id", "source", k=64).orderBy(
+            "domain", "label"
+        )
+
+    q["kmv_grouped_domains"] = kmv_grouped_q
+
     def ann_recall_ivf_q(spark, sf):
         """ANN quality self-eval: per-query overlap of IVF top-5 (nprobe
         3 of 8 clusters) against the exact brute-force top-5 — the recall
@@ -2772,6 +2794,7 @@ _DRIVER_WINDOW = [
     "kmv_rank_sketch",
     "code_switch_lines",
     "stream_dedup_wm",
+    "kmv_grouped_domains",
     # -- (c continued) code changed in r5 after last green --
     "dedup_clusters",
     "dedup_simhash",
@@ -2786,7 +2809,6 @@ _DRIVER_WINDOW = [
     "stratified_sample",
     "full_outer_counts",
     "text_pii_redact",
-    "text_repetition",
     "text_gopher_gate",
     "corpus_top_terms",
     # -- (e) anchors: two-round-stable regression canaries --
@@ -4773,6 +4795,23 @@ WHERE rn <= 5
     # is exactly batch DISTINCT regardless of arrival order.
     o["stream_dedup_wm"] = (
         "SELECT DISTINCT user_id, event_type FROM events"
+    )
+
+    # per-domain KMV: the oracle may use the naive group-partitioned
+    # window (fine at sf0.01) — the engine's two-phase pre-prune is
+    # exactly the same bottom-64 set by the min-k lattice.
+    o["kmv_grouped_domains"] = (
+        "WITH b AS (SELECT source AS g, sha256(CAST(doc_id AS VARCHAR)) "
+        "AS h, CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS "
+        "BIGINT) AS v FROM documents), "
+        "r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h) "
+        "AS rn FROM b), "
+        "s AS (SELECT g AS domain, list_sort(list(v)) AS vs, "
+        "CAST(count(*) AS BIGINT) AS n FROM r WHERE rn <= 64 GROUP BY g), "
+        f"t(label, num, den) AS (VALUES {_kmv_targets}) "
+        "SELECT domain, label, n AS n_sample, "
+        "CAST(vs[CAST((n * num + den - 1) // den AS INT)] AS BIGINT) AS "
+        "est_value FROM s, t ORDER BY domain, label"
     )
 
     return o

@@ -325,6 +325,7 @@ def operator_bench(spark) -> dict[str, float]:
         "mixture_plan",
         "kmv_rank_sketch",
         "code_switch_lines",
+        "kmv_grouped_domains",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -295,3 +295,93 @@ def kmv_quantiles(
             .alias("est_value"),
         )
     )
+
+
+def kmv_grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    qs: tuple[tuple[str, int, int], ...] = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+) -> DataFrame:
+    """Per-group KMV rank sketch: for every group, the bottom-k sample
+    by ``sha256(key)`` and the same exact ceil-rank quantile reads as
+    ``kmv_quantiles`` — ``(domain, label, n_sample, est_value)``.
+
+    The naive spelling (``row_number`` over a group-partitioned window)
+    shuffles the WHOLE corpus by group and serializes each group
+    through one task — a mega-domain stalls the stage. Instead the
+    min-k lattice (bottom-k of a union ≡ bottom-k of per-part
+    bottom-k's, same property as kmv_sample) licenses a two-phase
+    plan:
+
+    1. hash JVM-side (``sha2`` column — never per-row Python), then a
+       ``mapInPandas`` pre-prune holding ONE bounded dict per input
+       partition: group → its k lexicographically-smallest (h, v)
+       rows. State ≤ k rows per group per partition, any arrival
+       order; emits ≤ k·groups rows per partition.
+    2. one grouped aggregate over the pruned relation —
+       ``collect_list`` is safe ONLY here, bounded by k·P rows per
+       group (P = upstream partition count), sorted+sliced to the
+       exact global bottom-k.
+
+    Exactness does not depend on partitioning (pinned by property
+    test); ``key_col`` must be unique per row, NULL values excluded,
+    as in kmv_sample."""
+    import pandas as pd
+
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("g"),
+        F.sha2(F.col(key_col).cast("string"), 256).alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+
+    def prune(batches):
+        best: dict[str, pd.DataFrame] = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby("g", sort=False):
+                prev = best.get(g)
+                both = grp if prev is None else pd.concat((prev, grp))
+                best[g] = both.sort_values("h").head(k)
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = src.mapInPandas(prune, "g string, h string, v long")
+    s = (
+        pruned.groupBy(F.col("g").alias("domain"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "v"))), 1, k
+            ).alias("kept")
+        )
+        .select(
+            "domain",
+            F.sort_array(F.expr("transform(kept, x -> x.v)")).alias("vs"),
+            F.size("kept").cast("long").alias("n"),
+        )
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("label"),
+                F.lit(num).cast("long").alias("num"),
+                F.lit(den).cast("long").alias("den"),
+            )
+            for label, num, den in qs
+        ]
+    )
+    return s.select("domain", "vs", "n", F.explode(targets).alias("t")).select(
+        "domain",
+        F.col("t.label").alias("label"),
+        F.col("n").alias("n_sample"),
+        F.element_at(
+            "vs", F.expr("CAST((n * t.num + t.den - 1) div t.den AS INT)")
+        ).alias("est_value"),
+    )

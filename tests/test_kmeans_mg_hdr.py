@@ -280,3 +280,54 @@ def test_kmv_quantiles_plans_one_sample_one_scan(spark, sf001_dir):
     )
     assert plan.count("TakeOrderedAndProject") == 1, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_kmv_grouped_matches_python_model_any_partitioning(spark):
+    """Two-phase pre-pruned grouped bottom-k must equal the naive
+    per-group model under every partitioning (the min-k lattice)."""
+    import hashlib
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 131) % 997) for i in range(300)]
+    want = {}
+    for g in ("a", "b", "c"):
+        grp = [(i, v) for i, gg, v in rows if gg == g]
+        byh = sorted(
+            grp, key=lambda r: hashlib.sha256(str(r[0]).encode()).hexdigest()
+        )
+        vs = sorted(v for _, v in byh[:64])
+        n = len(vs)
+        for label, num, den in (
+            ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+            ("p90", 9, 10), ("p99", 99, 100),
+        ):
+            want[(g, label)] = (n, vs[-(-n * num // den) - 1])
+
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    for parts in (1, 7, 32):
+        got = {
+            (r["domain"], r["label"]): (r["n_sample"], r["est_value"])
+            for r in kmv_grouped_quantiles(
+                df.repartition(parts), "v", "id", "g"
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_kmv_grouped_plans_preprune_one_exchange(spark, sf001_dir):
+    """The scale shape: a MapInPandas pre-prune feeds ONE grouped
+    Exchange over the pruned relation — never a corpus-wide
+    group-partitioned window sort."""
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = (
+        kmv_grouped_quantiles(df, "n_chars", "doc_id", "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
