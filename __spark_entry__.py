@@ -2753,9 +2753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ✓-green trivial scalar projections/aggregations: 9 P-family +
 # dedup_minhash_sig, a4_success_failed/text_tokens/text_langid/
 # text_fingerprint/salted_user_value/value_outliers/robust_outliers
-# (swapped for the (b'') additions) and text_domains/length_histogram/
-# corpus_split_counts (swapped for the (b''') additions) — all re-gated
-# locally every round), and (e) 11 stable anchors.
+# (swapped for the (b'') additions), text_domains/length_histogram/
+# corpus_split_counts (swapped for the (b''') additions), and
+# w4_sliding_windows/text_repetition (swapped for stream_dedup_wm and
+# kmv_grouped_domains) — all re-gated locally every round), and
+# (e) 11 stable anchors.
 _DRIVER_WINDOW = [
     # -- (a) red row fixed this round --
     "graph_pagerank",

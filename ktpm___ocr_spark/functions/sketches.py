@@ -181,28 +181,75 @@ def hdr_quantiles(
     from pyspark.sql.window import Window
 
     cells = hdr_cells(df, value_col, unit)
+    # ONE lineage: cum and the total both come from windows over the same
+    # cell relation, and the targets explode against it — a per-target
+    # unionByName (the shape this replaced) re-plans the cells aggregate
+    # once per quantile, re-scanning the source when no Exchange is
+    # available for reuse (same scan-multiplication genus as the
+    # kmv_quantiles fix; pinned by a one-FileScan plan test).
     cum = cells.select(
         "lb",
         F.sum("cnt").over(Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("lb").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
     )
-    n = cells.agg(F.sum("cnt").alias("_n"))
-    targets = None
-    for label, num, den in qs:
-        t = n.select(
-            F.lit(label).alias("label"),
-            F.expr(f"(_n * {num} + {den} - 1) div {den}").alias("target_rank"),
-        )
-        targets = t if targets is None else targets.unionByName(t)
     # first cell whose cumulative count reaches the target rank
-    hit = (
-        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+    return (
+        cum.select("lb", "cum", "_n", F.explode(_targets_array(qs)).alias("t"))
+        .select(
+            F.col("t.label").alias("label"),
+            F.expr("(_n * t.num + t.den - 1) div t.den").alias("target_rank"),
+            "lb",
+            "cum",
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
         .groupBy("label", "target_rank")
         .agg(F.min("lb").alias("est_centi"))
     )
-    return hit.select("label", "target_rank", "est_centi")
 
 
 KMV_K = 256  # bottom-k sample size
+
+
+def _targets_array(qs):
+    """Literal array of (label, num, den) structs — quantile targets
+    join aggregates by ``explode`` of this array (the Spark spelling of
+    SQL's ``FROM a, t``), NEVER by a per-target union of selects, which
+    re-plans the aggregate's whole lineage once per quantile."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("label"),
+                F.lit(num).cast("long").alias("num"),
+                F.lit(den).cast("long").alias("den"),
+            )
+            for label, num, den in qs
+        ]
+    )
+
+
+def _rank_reads(s: DataFrame, id_cols: list[str], qs) -> DataFrame:
+    """Shared ceil-rank reads over a sorted-sample frame carrying
+    ``id_cols`` + ``vs`` (values ascending) + ``n`` (bigint): one
+    output row per id×target — (··ids··, label, n_sample, est_value);
+    n == 0 yields NULL (``element_at`` rejects rank 0)."""
+    return s.select(
+        *id_cols, "vs", "n", F.explode(_targets_array(qs)).alias("t")
+    ).select(
+        *id_cols,
+        F.col("t.label").alias("label"),
+        F.col("n").alias("n_sample"),
+        F.when(F.col("n") <= 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.element_at(
+                "vs", F.expr("CAST((n * t.num + t.den - 1) div t.den AS INT)")
+            )
+        )
+        .alias("est_value"),
+    )
 
 
 def kmv_sample(
@@ -270,31 +317,7 @@ def kmv_quantiles(
         F.sort_array(F.collect_list("v")).alias("vs"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    targets = F.array(
-        *[
-            F.struct(
-                F.lit(label).alias("label"),
-                F.lit(num).cast("long").alias("num"),
-                F.lit(den).cast("long").alias("den"),
-            )
-            for label, num, den in qs
-        ]
-    )
-    return (
-        a.select("vs", "n", F.explode(targets).alias("t"))
-        .select(
-            F.col("t.label").alias("label"),
-            F.col("n").alias("n_sample"),
-            F.when(F.col("n") <= 0, F.lit(None).cast("long"))
-            .otherwise(
-                F.element_at(
-                    "vs",
-                    F.expr("CAST((n * t.num + t.den - 1) div t.den AS INT)"),
-                )
-            )
-            .alias("est_value"),
-        )
-    )
+    return _rank_reads(a, [], qs)
 
 
 def kmv_grouped_quantiles(
@@ -351,21 +374,38 @@ def kmv_grouped_quantiles(
     same laziness free from TakeOrderedAndProject's deferred project).
     A NULL value_expr on a winner row shrinks that group's sample
     rather than being excluded up front — you cannot both skip
-    evaluating corpus-wide and filter corpus-wide."""
+    evaluating corpus-wide and filter corpus-wide.
+
+    Cardinality bound: the defer path BROADCASTS the k·|groups| winner
+    relation and the prune holds the same per-partition — sized for
+    the mega-DOMAIN regime (≤ ~10^5 groups · k=64 ≈ 6M rows). At
+    web-scale HOST cardinality (10^6–10^7 groups) the winner relation
+    outgrows broadcast: use the plain path there (its pruned relation
+    shuffles instead of broadcasting and degrades gracefully)."""
     import pandas as pd
 
     gcol = F.col(group_col).cast("string").alias("g")
     hcol = F.sha2(F.col(key_col).cast("string"), 256).alias("h")
 
     def prune(batches):
-        # positional: col 0 = group, col 1 = hash (both paths' schemas)
-        best: dict[str, pd.DataFrame] = {}
+        # positional: col 0 = group, col 1 = hash (both paths' schemas).
+        # dropna=False: a NULL group is a group (the oracle's GROUP BY
+        # and Spark's groupBy both keep it) — the pandas default would
+        # silently drop those rows. The dict key is normalized to None
+        # for missing groups: NaN keys would compare by identity and
+        # split one group across batches.
+        best: dict = {}
         for pdf in batches:
             gname, hname = pdf.columns[0], pdf.columns[1]
-            for g, grp in pdf.groupby(gname, sort=False):
-                prev = best.get(g)
+            for g, grp in pdf.groupby(gname, sort=False, dropna=False):
+                kg = (
+                    None
+                    if g is None or (isinstance(g, float) and g != g)
+                    else g
+                )
+                prev = best.get(kg)
                 both = grp if prev is None else pd.concat((prev, grp))
-                best[g] = both.sort_values(hname).head(k)
+                best[kg] = both.sort_values(hname).head(k)
         if best:
             yield pd.concat(best.values())
 
@@ -428,21 +468,4 @@ def kmv_grouped_quantiles(
             F.size("kept").cast("long").alias("n"),
         )
     )
-    targets = F.array(
-        *[
-            F.struct(
-                F.lit(label).alias("label"),
-                F.lit(num).cast("long").alias("num"),
-                F.lit(den).cast("long").alias("den"),
-            )
-            for label, num, den in qs
-        ]
-    )
-    return s.select("domain", "vs", "n", F.explode(targets).alias("t")).select(
-        "domain",
-        F.col("t.label").alias("label"),
-        F.col("n").alias("n_sample"),
-        F.element_at(
-            "vs", F.expr("CAST((n * t.num + t.den - 1) div t.den AS INT)")
-        ).alias("est_value"),
-    )
+    return _rank_reads(s, ["domain"], qs)

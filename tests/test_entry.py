@@ -170,9 +170,10 @@ def test_corpus_has_no_vertical_tab():
     import duckdb
 
     con = duckdb.connect()
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     for sf in ("sf0.001", "sf0.01"):
         n = con.execute(
-            f"SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet' "
+            f"SELECT count(*) FROM '{base}/{sf}/documents.parquet' "
             "WHERE contains(text, chr(11))"
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} docs contain \\x0B"

@@ -384,3 +384,27 @@ def test_kmv_grouped_defer_plans_broadcast_winner_join(spark, sf001_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("FileScan") == 2, plan
     assert "Window" not in plan, plan
+
+
+def test_kmv_grouped_keeps_null_group(spark):
+    """A NULL group is a group: the pandas pre-prune must not silently
+    drop it (pandas groupby defaults to dropna=True), in either path —
+    the SQL oracle's GROUP BY and Spark's own groupBy both keep it."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    rows = [(i, None if i % 3 == 0 else "a", i) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    plain = kmv_grouped_quantiles(df, "v", "id", "g").collect()
+    doms = {r["domain"] for r in plain}
+    assert doms == {None, "a"}, doms
+    n_null = {r["n_sample"] for r in plain if r["domain"] is None}
+    assert n_null == {30}  # all 30 null-group rows sampled (< k)
+    defer = kmv_grouped_quantiles(
+        df, None, "id", "g", value_expr=F.col("v")
+    ).collect()
+    keyf = lambda r: (r[0] is not None, r)  # None domain sorts first
+    assert sorted(map(tuple, defer), key=keyf) == sorted(
+        map(tuple, plain), key=keyf
+    )

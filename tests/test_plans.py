@@ -283,3 +283,19 @@ def test_cohort_retention_single_scan_three_exchanges(spark, sf01_dir):
     assert plan.count("Exchange hashpartitioning") == 3, plan
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert join_op not in plan, plan
+
+
+def test_hdr_quantiles_single_lineage_one_scan(spark, sf01_dir):
+    """The quantile targets must explode against ONE cells lineage —
+    the per-target unionByName shape re-plans the cells aggregate (and
+    the scan) once per quantile (same genus as the kmv_quantiles fix)."""
+    from ktpm___ocr_spark.functions.sketches import hdr_quantiles
+
+    df = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    plan = (
+        hdr_quantiles(df, "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1, plan
