@@ -339,6 +339,77 @@ def operator_bench(spark) -> dict[str, float]:
     return out
 
 
+def _emit(result: dict) -> None:
+    """Emit the metric JSON so the driver can always parse it.
+
+    The driver captures only the LAST ~2000 chars of stdout and parses the
+    final JSON line inside that capture — round 5's line outgrew the
+    window and landed as ``parsed: null`` (r5 verdict task 2). Two-part
+    fix: (a) the FULL result is always written to ``BENCH/last_run.json``;
+    (b) the printed line is compact-serialized and, if still over budget,
+    progressively slimmed (scaling detail first, then the cheapest
+    per-query entries merge into ``other_sec``/``other_n``) until it fits
+    the capture whole. Nothing is lost — the file keeps every field.
+    """
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    budget = 1900
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget and isinstance(result.get("scaling"), dict):
+        s = result["scaling"]
+        keep = (
+            "headline_pair",
+            "headline_efficiency",
+            "docs_per_sec_n",
+            "docs_per_sec_4n",
+            "cpu_ceiling_n_to_4n",
+            "bandwidth_ceiling_n_to_4n",
+            "pair_8_32_matched_window_efficiency",
+            "pair_8_32_efficiency_vs_attainable",
+            "pair_8_32_cap_limited",
+        )
+        slim = {k: s[k] for k in keep if k in s}
+        result = {**result, "scaling": slim}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget and "tenx_probe" in result:
+        t = result["tenx_probe"]
+        result = {
+            **result,
+            "tenx_probe": {k: t[k] for k in ("n_docs", "docs_per_sec") if k in t},
+        }
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget and "operator_window_cap_probe" in result:
+        result = {
+            k: v for k, v in result.items() if k != "operator_window_cap_probe"
+        }
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        result = {
+            **result,
+            "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+        }
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        qs = dict(result["queries"])
+        merged = 0
+        while len(line) > budget:
+            mergeable = [
+                k
+                for k in qs
+                if k not in ("extract_arrow_native", "extract_narrow", "other_sec")
+            ]
+            if len(mergeable) < 2:
+                break
+            victim = min(mergeable, key=lambda k: qs[k])
+            qs["other_sec"] = round(qs.get("other_sec", 0.0) + qs.pop(victim), 3)
+            merged += 1
+            result = {**result, "queries": qs, "queries_merged_into_other": merged}
+            line = json.dumps(result, separators=(",", ":"))
+    print(line)
+
+
 def main() -> None:
     scaling = None
     if "--scaling-worker" in sys.argv:
@@ -494,7 +565,7 @@ def main() -> None:
         **({"tenx_probe": tenx} if tenx else {}),
         "scaling": scaling,
     }
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":
