@@ -320,6 +320,29 @@ def kmv_quantiles(
     return _rank_reads(a, [], qs)
 
 
+# Winner-relation broadcast bound for the grouped-KMV defer path: at
+# ~100 B/row (two sha-hex strings + a key) this is ~100 MB — comfortable
+# against Spark's 8 GB broadcast hard limit and typical executor memory,
+# while 10^6+-group HOST-cardinality relations fall through to the
+# shuffled hash join.
+_MAX_BROADCAST_WINNER_ROWS = 1_000_000
+
+
+def _avg_row_bytes(df: DataFrame, sample_rows: int = 4096) -> float:
+    """Cheap scan-sample cost probe: average JSON-serialized row size of
+    the first ``sample_rows`` rows (LocalLimit pushes into the scan, so
+    this reads a handful of row groups, not the corpus). Used by the
+    ``defer="auto"`` selector — it runs ONE small Spark job at plan-build
+    time, the documented price of picking the execution strategy from the
+    data instead of from a caller guess."""
+    row = (
+        df.limit(sample_rows)
+        .select(F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("b"))
+        .first()
+    )
+    return float(row["b"] or 0.0)
+
+
 def kmv_grouped_quantiles(
     df: DataFrame,
     value_col: str | None,
@@ -334,6 +357,9 @@ def kmv_grouped_quantiles(
         ("p99", 99, 100),
     ),
     value_expr=None,
+    defer: bool | str = "auto",
+    broadcast_winners: bool | None = None,
+    defer_bytes_threshold: int = 2048,
 ) -> DataFrame:
     """Per-group KMV rank sketch: for every group, the bottom-k sample
     by ``sha256(key)`` and the same exact ceil-rank quantile reads as
@@ -360,28 +386,46 @@ def kmv_grouped_quantiles(
     test); ``key_col`` must be unique per row, NULL values excluded,
     as in kmv_sample.
 
-    ``value_expr`` (optional Column, replaces ``value_col``): evaluate
-    the value ONLY for the ≤ k·groups winner rows. The prune needs
-    nothing but the hash, so when the value is expensive per row (a
-    tokenize, a decode, a parse) pass the expression here instead of
-    pre-computing a column: phase 1 prunes on (group, hash, key)
-    without touching it, and the expression is projected ABOVE a
-    broadcast join of the winner keys — the probe scan still reads the
-    column bytes, but the expression runs on matched rows only. Costs
-    a second scan of the input; the right trade as soon as per-row
-    value cost dominates a column scan (measured: 12.4 s → 1.9 s on
-    400k concatenated-span docs; the ungrouped kmv_sample gets the
-    same laziness free from TakeOrderedAndProject's deferred project).
-    A NULL value_expr on a winner row shrinks that group's sample
-    rather than being excluded up front — you cannot both skip
-    evaluating corpus-wide and filter corpus-wide.
+    ``value_expr`` (optional Column, replaces ``value_col``): the value
+    is a computed expression. NULL semantics (both strategies below,
+    identical by property test): winners are chosen per group by hash
+    over ALL rows, then winner rows whose value is NULL shrink that
+    group's sample — with a lazily-evaluated value you cannot both skip
+    evaluating corpus-wide and filter corpus-wide, so the eager
+    strategy implements the same rule for exact interchangeability.
+    (``value_col`` keeps its kmv_sample contract: NULLs excluded
+    before winner selection.)
 
-    Cardinality bound: the defer path BROADCASTS the k·|groups| winner
-    relation and the prune holds the same per-partition — sized for
-    the mega-DOMAIN regime (≤ ~10^5 groups · k=64 ≈ 6M rows). At
-    web-scale HOST cardinality (10^6–10^7 groups) the winner relation
-    outgrows broadcast: use the plain path there (its pruned relation
-    shuffles instead of broadcasting and degrades gracefully)."""
+    ``defer`` picks the execution strategy for ``value_expr``:
+
+    * ``False`` — ONE pass: evaluate the expression corpus-wide in the
+      phase-1 projection and carry ``v`` through the prune. Wins when
+      the expression is cheap relative to re-scanning the input
+      (measured: 0.84 s vs 1.48 s on sf0.1's ~500 B docs).
+    * ``True`` — TWO passes: phase 1 prunes on (group, hash, key) only,
+      and the expression is projected ABOVE a join of the ≤ k·|groups|
+      winner keys back to the input — the probe scan re-reads the
+      column bytes, but the expression runs on matched rows only
+      (measured: 12.4 s → 1.9 s on 400k concatenated-span mega-docs;
+      the ungrouped kmv_sample gets the same laziness free from
+      TakeOrderedAndProject's deferred project).
+    * ``"auto"`` (default) — sample-probe the scan (``_avg_row_bytes``,
+      one small Spark job) and defer iff the average row is at least
+      ``defer_bytes_threshold`` bytes: per-row value cost tracks row
+      size for the parse/tokenize/decode expressions this path exists
+      for, and the measured win regions sit well clear of the
+      threshold on both sides (~0.7 kB plain vs ~6 kB defer).
+
+    ``broadcast_winners`` picks the winner-join strategy when
+    deferring: ``True`` forces a broadcast, ``False`` forces a shuffled
+    hash join (the web-scale HOST-cardinality regime, where k·|groups|
+    outgrows any broadcast), and ``None`` (default) MEASURES — the
+    winner relation is persisted and counted (phase 1 runs once and is
+    reused by the join), and the join broadcasts iff the count is at
+    most ``_MAX_BROADCAST_WINNER_ROWS``. The count is exactly the
+    |groups|·k quantity the decision needs, so no cardinality guess or
+    documented bound is left to the caller; the persisted block is
+    released by Spark's ContextCleaner when the plan is dropped."""
     import pandas as pd
 
     gcol = F.col(group_col).cast("string").alias("g")
@@ -414,6 +458,15 @@ def kmv_grouped_quantiles(
             gcol, hcol, F.col(value_col).cast("long").alias("v")
         )
         vw = src.mapInPandas(prune, "g string, h string, v long")
+    elif defer is False or (
+        defer == "auto" and _avg_row_bytes(df) < defer_bytes_threshold
+    ):
+        # one-pass strategy, defer SEMANTICS: the expression is evaluated
+        # corpus-wide (the cost trade), but winner selection still ignores
+        # NULL values — they ride through the prune and shrink the sample
+        # in the post-slice filter below, exactly like the two-pass path.
+        src = df.select(gcol, hcol, value_expr.cast("long").alias("v"))
+        vw = src.mapInPandas(prune, "g string, h string, v long")
     else:
         # collision-safe internal names + DataFrame-qualified references:
         # the probe side is the CALLER's df, which may itself have
@@ -442,9 +495,22 @@ def kmv_grouped_quantiles(
                 F.col("w._kmv_kk").alias("_kmv_kk"),
             )
         )
+        if broadcast_winners is None:
+            # measure, don't guess: count() materializes phase 1 once
+            # (persisted, reused by the join) and IS the k·|groups|
+            # broadcast-bound quantity
+            winners = winners.persist()
+            broadcast_winners = winners.count() <= _MAX_BROADCAST_WINNER_ROWS
+        if broadcast_winners:
+            winners = F.broadcast(winners)
+        else:
+            # HOST-cardinality fallback: the winner relation outgrows any
+            # broadcast — a shuffled hash join (no sort; build side is the
+            # smaller, already-pruned relation) is the right shape
+            winners = winners.hint("shuffle_hash")
         vw = (
             df.join(
-                F.broadcast(winners),
+                winners,
                 F.col(key_col).cast("string") == winners["_kmv_kk"],
                 "inner",
             )
@@ -462,10 +528,17 @@ def kmv_grouped_quantiles(
                 F.array_sort(F.collect_list(F.struct("h", "v"))), 1, k
             ).alias("kept")
         )
+        # NULL values drop AFTER the hash-ordered slice (a no-op for the
+        # value_col path, which filtered up front, and for the two-pass
+        # expr path, which filtered post-join): winner slots taken by
+        # NULL-valued rows shrink the sample — the rule that makes the
+        # one-pass and two-pass expr strategies bit-identical
         .select(
             "domain",
-            F.sort_array(F.expr("transform(kept, x -> x.v)")).alias("vs"),
-            F.size("kept").cast("long").alias("n"),
+            F.sort_array(
+                F.expr("transform(filter(kept, x -> x.v is not null), x -> x.v)")
+            ).alias("vs"),
         )
+        .select("domain", "vs", F.size("vs").cast("long").alias("n"))
     )
     return _rank_reads(s, ["domain"], qs)

@@ -334,9 +334,9 @@ def test_kmv_grouped_plans_preprune_one_exchange(spark, sf001_dir):
 
 
 def test_kmv_grouped_defer_value_equals_plain(spark):
-    """The value_expr defer path (hash-only prune + winner join-back)
-    must be bit-identical to pre-computing the value column, under any
-    partitioning."""
+    """All three value strategies — pre-computed column, one-pass
+    value_expr (defer=False), two-pass winner join-back (defer=True) —
+    must be bit-identical on NULL-free values, under any partitioning."""
     from pyspark.sql import functions as F
 
     from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
@@ -353,15 +353,70 @@ def test_kmv_grouped_defer_value_equals_plain(spark):
         )
     )
     for parts in (1, 8):
-        defer = sorted(
-            map(
-                tuple,
-                kmv_grouped_quantiles(
-                    df.repartition(parts), None, "id", "g", value_expr=expr
-                ).collect(),
+        for strat in (False, True):
+            got = sorted(
+                map(
+                    tuple,
+                    kmv_grouped_quantiles(
+                        df.repartition(parts),
+                        None,
+                        "id",
+                        "g",
+                        value_expr=expr,
+                        defer=strat,
+                        broadcast_winners=True,
+                    ).collect(),
+                )
             )
+            assert got == plain, (parts, strat)
+
+
+def test_kmv_grouped_expr_null_semantics_strategy_invariant(spark):
+    """NULL-valued winner rows SHRINK the group's sample (winner
+    selection by hash over all rows, value filter after) — and the rule
+    must hold identically for the one-pass and two-pass strategies and
+    every winner-join flavor, or defer='auto' would change results with
+    data shape. Checked against a python model."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    # v is NULL for every 3rd row; k=8 so winner slots are contested
+    rows = [(i, ["a", "b"][i % 2], None if i % 3 == 0 else (i * 37) % 211)
+            for i in range(120)]
+    want = {}
+    for g in ("a", "b"):
+        grp = [(i, v) for i, gg, v in rows if gg == g]
+        byh = sorted(
+            grp, key=lambda r: hashlib.sha256(str(r[0]).encode()).hexdigest()
         )
-        assert defer == plain, parts
+        vs = sorted(v for _, v in byh[:8] if v is not None)
+        n = len(vs)
+        for label, num, den in (
+            ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+            ("p90", 9, 10), ("p99", 99, 100),
+        ):
+            want[(g, label)] = (n, vs[-(-n * num // den) - 1] if n else None)
+
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    variants = [
+        dict(defer=False),
+        dict(defer=True, broadcast_winners=True),
+        dict(defer=True, broadcast_winners=False),
+        dict(defer=True, broadcast_winners=None),
+    ]
+    for parts in (1, 8):
+        for kw in variants:
+            got = {
+                (r["domain"], r["label"]): (r["n_sample"], r["est_value"])
+                for r in kmv_grouped_quantiles(
+                    df.repartition(parts), None, "id", "g", k=8,
+                    value_expr=F.col("v"), **kw,
+                ).collect()
+            }
+            assert got == want, (parts, kw)
 
 
 def test_kmv_grouped_defer_plans_broadcast_winner_join(spark, sf001_dir):
@@ -375,7 +430,13 @@ def test_kmv_grouped_defer_plans_broadcast_winner_join(spark, sf001_dir):
     df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
     plan = (
         kmv_grouped_quantiles(
-            df, None, "doc_id", "source", value_expr=F.length("text")
+            df,
+            None,
+            "doc_id",
+            "source",
+            value_expr=F.length("text"),
+            defer=True,
+            broadcast_winners=True,
         )
         ._jdf.queryExecution()
         .executedPlan()
@@ -384,6 +445,92 @@ def test_kmv_grouped_defer_plans_broadcast_winner_join(spark, sf001_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("FileScan") == 2, plan
     assert "Window" not in plan, plan
+
+
+def test_kmv_grouped_host_cardinality_shuffle_fallback_plan(spark, sf001_dir):
+    """broadcast_winners=False — the web-scale HOST-cardinality regime
+    where k·|groups| outgrows any broadcast — must swap the winner join
+    to a shuffled hash join: no BroadcastHashJoin anywhere, and still no
+    corpus-wide Window."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    plan = (
+        kmv_grouped_quantiles(
+            df,
+            None,
+            "doc_id",
+            "source",
+            value_expr=F.length("text"),
+            defer=True,
+            broadcast_winners=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_kmv_grouped_measured_broadcast_decision(spark, sf001_dir):
+    """broadcast_winners=None MEASURES: phase 1 is persisted + counted,
+    and a small winner relation broadcasts (the count at sf0.001 is far
+    under the bound). The persisted relation must be REUSED by the join
+    (InMemoryTableScan in the plan), not recomputed."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    df = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = kmv_grouped_quantiles(
+        df,
+        None,
+        "doc_id",
+        "source",
+        value_expr=F.length("text"),
+        defer=True,
+        broadcast_winners=None,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert out.count() > 0
+
+
+def test_kmv_grouped_auto_defer_selects_by_row_bytes(spark):
+    """defer='auto' picks the strategy from sampled row bytes: tiny rows
+    -> one pass (no winner join in the plan); fat rows (>= threshold) ->
+    two passes (winner join present). Results identical either way."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.sketches import kmv_grouped_quantiles
+
+    small = spark.createDataFrame(
+        [(i, "a", "xy") for i in range(50)], "id long, g string, text string"
+    )
+    fat = spark.createDataFrame(
+        [(i, "a", "x" * 4096) for i in range(50)],
+        "id long, g string, text string",
+    )
+    expr = F.length("text")
+    plan_small = (
+        kmv_grouped_quantiles(small, None, "id", "g", value_expr=expr)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan_small, plan_small
+    plan_fat = (
+        kmv_grouped_quantiles(fat, None, "id", "g", value_expr=expr)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" in plan_fat, plan_fat
 
 
 def test_kmv_grouped_keeps_null_group(spark):
