@@ -1,0 +1,242 @@
+"""Composed corpus-build pipeline proof at 10-25x bench scale.
+
+Single-operator green rows show each stage is right in isolation; this
+harness runs the WHOLE corpus-build chain a training-data run needs —
+
+    extract (arrow-native span classify+stitch)
+    -> assemble doc text + Gopher quality gate
+    -> C4 boilerplate line dedup
+    -> MinHash-LSH near-dup pairs
+    -> connected-components duplicate clusters
+    -> canonical keep (drop non-canonical members)
+    -> static mixture plan (per-host token budget)
+    -> token windows + greedy sample packing
+
+— on the generated mega-doc-skew corpus (the same deterministic
+synth_corpus fixture the scaling pairs use: ~9 % planted exact
+duplicates, 1/1000 mega-docs with 9-11k spans) at 400k and 1M docs,
+and records per-stage wall, rows, bytes, throughput, and written-file
+balance so any stage whose cost grows super-linearly is named by the
+400k -> 1M ratio table.
+
+Every stage MATERIALIZES to parquet and the next stage reads it back:
+per-stage attribution is exact (no lazy fusion across stage
+boundaries), and the layout is the production one — stage outputs are
+tables a failed run resumes from, not lineage inside one job.
+
+Usage: python bench_composed.py [n_docs ...]   (default: 400000 1000000)
+Writes BENCH/composed_last.json and prints one JSON line per corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _file_balance(spark, path: str) -> dict:
+    """rows per written file (max vs p50) — the mega-doc skew metric;
+    grouped by the WRITTEN file, not read-split (splits pack small files
+    by size and would average away exactly the skew this measures)."""
+    from pyspark.sql import functions as F
+
+    r = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.max("rows").alias("max_rows"),
+            F.expr("percentile_approx(rows, 0.5)").alias("p50_rows"),
+        )
+        .first()
+    )
+    return {
+        "files": r["files"],
+        "max_rows": r["max_rows"],
+        "p50_rows": r["p50_rows"],
+    }
+
+
+def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.packing import pack_samples, token_windows
+    from ktpm___ocr_spark.functions.textstats import gopher_gate, mixture_plan
+    from ktpm___ocr_spark.operators import dedup as dd
+    from ktpm___ocr_spark.operators.arrow_native import extract_arrow_native
+
+    os.makedirs(workdir, exist_ok=True)
+    stages: list[dict] = []
+
+    def stage(name: str, df, balance: bool = False) -> str:
+        out = os.path.join(workdir, name)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(out)
+        wall = time.monotonic() - t0
+        rows = spark.read.parquet(out).count()
+        rec = {
+            "stage": name,
+            "sec": round(wall, 2),
+            "rows_out": rows,
+            "out_mb": round(_dir_bytes(out) / 1e6, 1),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+        if balance:
+            rec["balance"] = _file_balance(spark, out)
+        stages.append(rec)
+        return out
+
+    docs = spark.read.parquet(corpus_path)
+
+    # 1. flagship extraction: classify + re-stitch ordered spans
+    p_ex = stage("extract", extract_arrow_native(docs), balance=True)
+
+    # 2. assemble doc text (int64 id — the web-scale id normalization) +
+    #    Gopher gate; only keep=true docs flow on
+    ex = spark.read.parquet(p_ex).select(
+        F.substring("doc_id", 4, 8).cast("long").alias("id"),
+        F.array_join(
+            F.expr(
+                "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    gate = gopher_gate(ex, "id", "text")
+    p_gate = stage(
+        "gate", ex.join(gate.filter(F.col("keep")).select("id"), "id")
+    )
+
+    # 3. C4 boilerplate line dedup (hot lines: df > 4 distinct docs —
+    #    the synth corpus plants edge-snippet boilerplate corpus-wide,
+    #    while planted dup pairs only reach df=2 and must survive for
+    #    the near-dup stages to prove themselves on)
+    gated = spark.read.parquet(p_gate)
+    p_clean = stage(
+        "line_dedup",
+        dd.boilerplate_line_filter(gated, "id", "text", max_line_df=4)
+        .select("id", F.col("clean_text").alias("text"))
+        .filter(F.length("text") > 0),
+        balance=True,
+    )
+
+    # 4. MinHash-LSH near-dup pairs (banded candidates, verify >= 0.6)
+    clean = spark.read.parquet(p_clean)
+    p_pairs = stage(
+        "minhash_pairs", dd.minhash_near_dups(clean, "id", "text", threshold=0.6)
+    )
+
+    # 5. duplicate clusters (pointer-jumping CC)
+    pairs = spark.read.parquet(p_pairs)
+    p_cc = stage("cc_clusters", dd.connected_components(pairs))
+
+    # 6. canonical keep: drop every non-canonical cluster member
+    cc = spark.read.parquet(p_cc)
+    canon = dd.keep_canonical(clean, cc, id_col="id")
+    drop = (
+        cc.join(canon, "cluster_id")
+        .filter(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias("id"))
+    )
+    p_surv = stage(
+        "canonical_keep", clean.join(drop, "id", "left_anti"), balance=True
+    )
+
+    # 7. static mixture plan over derived hosts (id-hash buckets — the
+    #    synth corpus has no host column; 200 buckets = the mega-domain
+    #    regime)
+    surv = spark.read.parquet(p_surv).withColumn(
+        "host", F.concat(F.lit("h"), (F.abs(F.xxhash64("id")) % 200))
+    )
+    p_mix = stage(
+        "mixture_plan", mixture_plan(surv, "host", "text", budget=100_000_000)
+    )
+
+    # 8. packing: 512-token windows, greedily packed to 2048-token bins
+    #    per host (window key id*100000+win_idx is unique and
+    #    order-preserving within a doc)
+    wins = token_windows(surv, "id", "text", size=512, stride=512).join(
+        surv.select("id", "host"), "id"
+    )
+    p_pack = stage(
+        "packing",
+        pack_samples(
+            wins.select(
+                (F.col("id") * 100_000 + F.col("win_idx")).alias("wid"),
+                "n_tokens",
+                "host",
+            ),
+            id_col="wid",
+            tokens_col="n_tokens",
+            part_col="host",
+            capacity=2048,
+        ),
+    )
+    del p_mix, p_pack
+
+    total = round(sum(s["sec"] for s in stages), 2)
+    return {
+        "n_docs": n_docs,
+        "corpus": corpus_path,
+        "total_sec": total,
+        "end_to_end_docs_per_sec": round(n_docs / total, 1),
+        "stages": stages,
+    }
+
+
+def main() -> None:
+    from ktpm___ocr_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or [400_000, 1_000_000]
+    spark = get_spark(
+        app_name="bench-composed",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g")},
+    )
+    results = []
+    for n in sizes:
+        corpus = f"/tmp/ktpm_bench_corpus_{n}_p1024.parquet"
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            from ktpm___ocr_spark.sources.generator import materialize
+
+            materialize(spark, corpus, n_docs=n, seed=42, partitions=1024)
+        res = run_chain(spark, corpus, n, f"/tmp/ktpm_composed_{n}")
+        results.append(res)
+        print(json.dumps(res))
+    if len(results) == 2 and results[0]["n_docs"]:
+        a, b = results
+        scale = b["n_docs"] / a["n_docs"]
+        ratios = {
+            sa["stage"]: round(sb["sec"] / max(sa["sec"], 1e-9) / scale, 2)
+            for sa, sb in zip(a["stages"], b["stages"])
+        }
+        # per-stage cost ratio normalized by the scale factor: 1.0 =
+        # perfectly linear, < 1 = cheaper per doc at scale (fixed
+        # overhead amortizing), sustained > 1 = super-linear growth
+        print(json.dumps({"normalized_cost_ratio_1m_over_400k": ratios}))
+        results.append({"normalized_cost_ratio": ratios, "scale": scale})
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "composed_last.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,17 +42,34 @@ SIG_PREFIX = 12  # hex chars of each minhash kept in the signature
 
 def shingles(text, n: int = SHINGLE_N):
     """Distinct word n-gram shingles; short texts fall back to one
-    whole-text shingle so every doc has a signature."""
-    ws = words_array(text)
-    k = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
+    whole-text shingle so every doc has a signature.
+
+    The word array is ``let``-bound: the position lambda references it
+    through a lambda variable, so each ``element_at`` is an O(1) array
+    index. Referencing the raw ``words_array`` expression in the lambda
+    re-inlines (re-splits the text!) once PER SHINGLE POSITION —
+    O(words²) per doc. Invisible on ~70-word rows (~2× constant), fatal
+    on long documents: the composed-pipeline probe measured 4096-word
+    docs at 55 s/64 docs before the binding and linear after (r6)."""
+
+    def grams(ws, k):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+
+    return let(
+        words_array(text),
+        lambda ws: let(
+            F.size(ws),
+            lambda k: F.array_distinct(
+                F.when(k >= n, grams(ws, k)).otherwise(
+                    F.array(F.concat_ws(" ", ws))
+                )
+            ),
         ),
-    )
-    return F.array_distinct(
-        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", ws)))
     )
 
 
