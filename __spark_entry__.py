@@ -2695,6 +2695,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_diff"] = snapshot_diff_q
 
+    def nightly_increment_q(spark, sf):
+        """The nightly-increment production loop composed end-to-end
+        (r5 verdict task 6) — the chain the pieces were built for:
+        snapshot_diff finds what the new crawl changed, ONLY that
+        increment is near-dup-probed against the persisted band table
+        of the existing corpus (never re-banded — cost O(|increment|)),
+        the new pairs update the duplicate clusters, and canonical keep
+        picks the surviving version per cluster.
+
+        Fixture (deterministic rev2 snapshot of documents, ids < 10M):
+        %17==3 removed; %13==5 text-edited (' [rev2]' suffix); %50==0
+        planted as an EXACT copy under id+10M (must be caught as a
+        new-old dup); %19==7 added vowel-rotated under id+20M (novel —
+        must NOT cluster). Changed docs re-enter under VERSION ids
+        (+40M): the old row stays in the corpus and band table, the new
+        version probes against it, and the version pair clusters so
+        canonical keep retires the superseded row — newest-id rank.
+
+        Oracle: the increment membership is closed-form (added ids
+        ≥ 10M; changed = %13==5 minus removed), so the composed oracle
+        is the full-corpus pair set over (old ∪ increment) restricted
+        to increment-touching pairs, then the same recursive-CTE
+        closure and per-cluster argmax the cluster/canonical oracles
+        use."""
+        from ktpm___ocr_spark.operators.snapshot import snapshot_diff
+
+        d = (
+            _t(spark, sf, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 10000000)
+        )
+        edited = d.filter(F.col("doc_id") % 17 != 3).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 5,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        plants = d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+        novel = d.filter(F.col("doc_id") % 19 == 7).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.translate("text", "aeiou", "01234").alias("text"),
+        )
+        new = edited.unionByName(plants).unionByName(novel)
+        diff = snapshot_diff(d, new)
+        # the increment: added docs as-is, changed docs under version ids
+        inc = (
+            new.join(diff.filter(F.col("status") == "added"), "doc_id")
+            .select("doc_id", "text")
+            .unionByName(
+                new.join(diff.filter(F.col("status") == "changed"), "doc_id")
+                .select((F.col("doc_id") + 40000000).alias("doc_id"), "text")
+            )
+        )
+        # production holds old_bands as a persisted table; built here once
+        # from the driver parquet (single file -> spread before hashing)
+        par = spark.sparkContext.defaultParallelism
+        old_bands = dd.lsh_bands(
+            d.repartition(par, "doc_id"), "doc_id", "text"
+        )
+        pairs = dd.incremental_near_dups(old_bands, d, inc, threshold=0.4)
+        cc = dd.connected_components(pairs.select("id_a", "id_b"))
+        texts = d.unionByName(inc)
+        canon = dd.keep_canonical(
+            texts, cc, rank_col=F.col("doc_id").cast("double")
+        )
+        return canon.orderBy("cluster_id")
+
+    q["nightly_increment"] = nightly_increment_q
+
     def mixture_q(spark, sf):
         """Static data-mixture plan (uniform target, SlimPajama/DoReMi-
         style heuristic): per-source token totals -> quota, fixed-point
@@ -3296,6 +3370,33 @@ def oracle_sql() -> dict[str, str]:
         "FROM p0 JOIN mem ma ON p0.id_a = ma.doc_id "
         "JOIN mem mb ON p0.id_b = mb.doc_id "
         "WHERE ma.is_new OR mb.is_new"
+    )
+    # nightly-increment composition: diff membership is closed-form
+    # (added ids >= 10M by construction; changed = %13==5 minus the
+    # %17==3 removals), so the oracle is the full-corpus pair set over
+    # old ∪ increment restricted to increment-touching pairs, the same
+    # recursive closure the cluster oracle uses, and a per-cluster
+    # newest-id argmax mirroring keep_canonical's (rank, -id) ordering
+    # with rank = CAST(doc_id AS DOUBLE).
+    o["nightly_increment"] = (
+        "WITH RECURSIVE nat AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 10000000), "
+        "inc AS (SELECT doc_id + 10000000 AS doc_id, text FROM nat "
+        "WHERE doc_id % 50 = 0 "
+        "UNION ALL SELECT doc_id + 20000000, "
+        "translate(text, 'aeiou', '01234') FROM nat WHERE doc_id % 19 = 7 "
+        "UNION ALL SELECT doc_id + 40000000, text || ' [rev2]' FROM nat "
+        "WHERE doc_id % 13 = 5 AND doc_id % 17 <> 3), "
+        "aug AS (SELECT doc_id, text FROM nat UNION ALL "
+        "SELECT doc_id, text FROM inc), "
+        f"{_mh_ctes_for('aug')}, "
+        f"p1 AS ({_mh_pairs_sel}), "
+        "p AS (SELECT id_a, id_b FROM p1 "
+        "WHERE id_a >= 10000000 OR id_b >= 10000000), "
+        f"{_closure_tail} "
+        "SELECT cluster_id, max(doc_id) AS keep_id, "
+        "CAST(max(doc_id) AS DOUBLE) AS keep_rank, "
+        "count(*) AS n_members FROM comp GROUP BY cluster_id"
     )
     # capstone: gate → near-dup clusters → canonical keep → split → stats,
     # composed from the same CTE fragments the stage oracles use

@@ -529,6 +529,7 @@ def incremental_near_dups(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     new_bands: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Cross-snapshot near-dup detection — the realistic 100 TB pattern:
     a new crawl INCREMENT arrives and must be deduped against the
@@ -624,6 +625,13 @@ def incremental_near_dups(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "pair_kind", "jaccard")
         )
+        if not eager:
+            # lazy return: the full pre-execution plan stays inspectable
+            # (the no-reband plan test) and a caller can fuse further
+            # stages into one job. The band persist below is released
+            # immediately, so the increment's bands evaluate once per
+            # consuming join instead — the caller owns the lifecycle.
+            return verified
         # same persist hygiene as minhash_near_dups: materialize the small
         # verified set, release the increment's bands before returning
         return verified.localCheckpoint(eager=True)

@@ -299,3 +299,59 @@ def test_hdr_quantiles_single_lineage_one_scan(spark, sf01_dir):
         .toString()
     )
     assert plan.count("FileScan") == 1, plan
+
+
+def test_nightly_increment_never_rebands_old_side(spark, sf001_dir, tmp_path):
+    """The nightly-increment composition's defining property: the old
+    corpus is probed through its PERSISTED band table, never re-banded
+    from text. Pinned behaviorally (plan-string sha2 counting is brittle
+    under expression truncation): doctoring the stored band hashes must
+    kill every new-old match — if the implementation re-derived the old
+    side's bands from old text, the planted exact copies would still be
+    found despite the doctored table. new-new pairs (increment-internal)
+    must be unaffected by the doctoring."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.operators import dedup as dd
+
+    old = spark.read.parquet(f"{sf001_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bands_path = str(tmp_path / "old_bands")
+    dd.lsh_bands(old, "doc_id", "text").write.parquet(bands_path)
+    old_bands = spark.read.parquet(bands_path)
+    # 20 planted exact copies, each duplicated twice in the increment so
+    # new-new pairs exist independently of the old side
+    seed = old.orderBy("doc_id").limit(10)
+    inc = seed.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        seed.select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+    )
+
+    def kinds(bands_df):
+        rows = (
+            dd.incremental_near_dups(bands_df, old, inc, threshold=0.4)
+            .groupBy("pair_kind")
+            .count()
+            .collect()
+        )
+        return {r["pair_kind"]: r["count"] for r in rows}
+
+    honest = kinds(old_bands)
+    assert honest.get("new_old", 0) > 0, honest
+    assert honest.get("new_new", 0) > 0, honest
+
+    doctored = old_bands.withColumn(
+        "band_hash", F.sha2(F.concat(F.col("band_hash"), F.lit("X")), 256)
+    )
+    broken = kinds(doctored)
+    assert broken.get("new_old", 0) == 0, broken
+    assert broken.get("new_new", 0) == honest["new_new"], (broken, honest)
+
+    # and the lazy plan consumes the band parquet by scan (probe side),
+    # visible as the band table's read schema
+    lazy = dd.incremental_near_dups(
+        old_bands, old, inc, threshold=0.4, eager=False
+    )
+    assert "band_hash" in _plan(lazy)
