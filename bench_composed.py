@@ -78,17 +78,24 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     from pyspark.sql import functions as F
 
     from ktpm___ocr_spark.functions.packing import pack_samples, token_windows
-    from ktpm___ocr_spark.functions.textstats import gopher_gate, mixture_plan
+    from ktpm___ocr_spark.functions.textstats import (
+        gopher_keep_expr,
+        mixture_plan,
+    )
     from ktpm___ocr_spark.operators import dedup as dd
     from ktpm___ocr_spark.operators.arrow_native import extract_arrow_native
 
     os.makedirs(workdir, exist_ok=True)
     stages: list[dict] = []
 
-    def stage(name: str, df, balance: bool = False) -> str:
+    def stage(name: str, mk_df, balance: bool = False) -> str:
+        # mk_df is a THUNK: several operators (minhash_near_dups,
+        # connected_components) eagerly materialize internally
+        # (localCheckpoint), so building the DataFrame is part of the
+        # stage's cost and must happen inside the timed window
         out = os.path.join(workdir, name)
         t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(out)
+        mk_df().write.mode("overwrite").parquet(out)
         wall = time.monotonic() - t0
         rows = spark.read.parquet(out).count()
         rec = {
@@ -106,7 +113,7 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     docs = spark.read.parquet(corpus_path)
 
     # 1. flagship extraction: classify + re-stitch ordered spans
-    p_ex = stage("extract", extract_arrow_native(docs), balance=True)
+    p_ex = stage("extract", lambda: extract_arrow_native(docs), balance=True)
 
     # 2. assemble doc text (int64 id — the web-scale id normalization) +
     #    Gopher gate; only keep=true docs flow on
@@ -119,10 +126,9 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
             "\n",
         ).alias("text"),
     )
-    gate = gopher_gate(ex, "id", "text")
-    p_gate = stage(
-        "gate", ex.join(gate.filter(F.col("keep")).select("id"), "id")
-    )
+    # the gate predicate is row-local (r6 in-row repetition rewrite), so
+    # it applies as a filter in the scan stage — no (id, keep) self-join
+    p_gate = stage("gate", lambda: ex.filter(gopher_keep_expr("text")))
 
     # 3. C4 boilerplate line dedup (hot lines: df > 4 distinct docs —
     #    the synth corpus plants edge-snippet boilerplate corpus-wide,
@@ -131,7 +137,7 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     gated = spark.read.parquet(p_gate)
     p_clean = stage(
         "line_dedup",
-        dd.boilerplate_line_filter(gated, "id", "text", max_line_df=4)
+        lambda: dd.boilerplate_line_filter(gated, "id", "text", max_line_df=4)
         .select("id", F.col("clean_text").alias("text"))
         .filter(F.length("text") > 0),
         balance=True,
@@ -140,12 +146,13 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     # 4. MinHash-LSH near-dup pairs (banded candidates, verify >= 0.6)
     clean = spark.read.parquet(p_clean)
     p_pairs = stage(
-        "minhash_pairs", dd.minhash_near_dups(clean, "id", "text", threshold=0.6)
+        "minhash_pairs",
+        lambda: dd.minhash_near_dups(clean, "id", "text", threshold=0.6),
     )
 
     # 5. duplicate clusters (pointer-jumping CC)
     pairs = spark.read.parquet(p_pairs)
-    p_cc = stage("cc_clusters", dd.connected_components(pairs))
+    p_cc = stage("cc_clusters", lambda: dd.connected_components(pairs))
 
     # 6. canonical keep: drop every non-canonical cluster member
     cc = spark.read.parquet(p_cc)
@@ -156,7 +163,7 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
         .select(F.col("node").alias("id"))
     )
     p_surv = stage(
-        "canonical_keep", clean.join(drop, "id", "left_anti"), balance=True
+        "canonical_keep", lambda: clean.join(drop, "id", "left_anti"), balance=True
     )
 
     # 7. static mixture plan over derived hosts (id-hash buckets — the
@@ -166,7 +173,8 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
         "host", F.concat(F.lit("h"), (F.abs(F.xxhash64("id")) % 200))
     )
     p_mix = stage(
-        "mixture_plan", mixture_plan(surv, "host", "text", budget=100_000_000)
+        "mixture_plan",
+        lambda: mixture_plan(surv, "host", "text", budget=100_000_000),
     )
 
     # 8. packing: 512-token windows, greedily packed to 2048-token bins
@@ -177,7 +185,7 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     )
     p_pack = stage(
         "packing",
-        pack_samples(
+        lambda: pack_samples(
             wins.select(
                 (F.col("id") * 100_000 + F.col("win_idx")).alias("wid"),
                 "n_tokens",
