@@ -2780,6 +2780,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_plan"] = mixture_q
 
+    def mixture_weighted_q(spark, sf):
+        """Weighted data-mixture planning (r6): per-domain budget share
+        proportional to an integer weight — the DoReMi/SlimPajama-style
+        knob (upweight curated sources, downweight crawl). Weight here
+        derives deterministically from the domain name (1 + sha-hash
+        mod 4) so the oracle reproduces it; quota = (budget·w) div Σw
+        in exact int64, epochs/planned follow mixture_plan's capped
+        fixed-point arithmetic. Same 100 TB shape: ONE domain-keyed
+        partial-agg shuffle; Σw via single-partition window over the
+        aggregated domain table (textstats.mixture_plan_weighted)."""
+        return textstats.mixture_plan_weighted(
+            _t(spark, sf, "documents"),
+            "source",
+            "text",
+            budget=1_000_000,
+            weight_expr=F.pmod(
+                textstats.word_hash(F.col("domain")), F.lit(4)
+            )
+            + 1,
+        ).orderBy("domain")
+
+    q["mixture_plan_weighted"] = mixture_weighted_q
+
     def kmv_q(spark, sf):
         """Deterministic mergeable rank sketch (KMV bottom-k, k=256)
         over per-doc whitespace token counts — the merge-order-
@@ -4843,6 +4866,26 @@ WHERE rn <= 5
         "THEN 0 ELSE least(CAST(4000000 AS BIGINT), (quota * 1000000) // "
         "tokens) END AS BIGINT) AS epochs_q6 FROM p) "
         "SELECT domain, tokens, quota, epochs_q6, "
+        "CAST((tokens // 1000000) * epochs_q6 + ((tokens % 1000000) * "
+        "epochs_q6) // 1000000 AS BIGINT) AS planned_tokens FROM e "
+        "ORDER BY domain"
+    )
+
+    o["mixture_plan_weighted"] = (
+        "WITH t AS (SELECT source AS domain, CAST(sum(CAST(coalesce(len("
+        "regexp_extract_all(text, '\\S+')), 0) AS BIGINT)) AS BIGINT) AS "
+        "tokens FROM documents GROUP BY 1), "
+        "w AS (SELECT domain, tokens, CAST(CAST(('0x' || substr(sha256("
+        "domain), 1, 15)) AS BIGINT) % 4 + 1 AS BIGINT) AS weight FROM t), "
+        "tw AS (SELECT CAST(sum(weight) AS BIGINT) AS _tw FROM w), "
+        "p AS (SELECT domain, tokens, weight, CAST(CASE WHEN _tw <= 0 THEN 0 "
+        "ELSE (CAST(1000000 AS BIGINT) * weight) // _tw END AS BIGINT) AS "
+        "quota FROM w, tw), "
+        "e AS (SELECT domain, tokens, weight, quota, CAST(CASE WHEN "
+        "tokens <= 0 OR weight <= 0 THEN 0 ELSE least(CAST(4000000 AS "
+        "BIGINT), (quota * 1000000) // tokens) END AS BIGINT) AS epochs_q6 "
+        "FROM p) "
+        "SELECT domain, tokens, weight, quota, epochs_q6, "
         "CAST((tokens // 1000000) * epochs_q6 + ((tokens % 1000000) * "
         "epochs_q6) // 1000000 AS BIGINT) AS planned_tokens FROM e "
         "ORDER BY domain"

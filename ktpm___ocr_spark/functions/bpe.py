@@ -128,15 +128,28 @@ def apply_merge(wf: DataFrame, lhs: str, rhs: str) -> DataFrame:
 
 
 def bpe_merges(
-    df: DataFrame, text_col: str = "text", k: int = 5
+    df: DataFrame, text_col: str = "text", k: int = 5,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Learn the top-``k`` BPE merges. Returns (merge_rank, lhs, rhs,
     merged, pair_freq) — the merge table a tokenizer would ship.
 
     Ties break deterministically by (freq DESC, lhs ASC, rhs ASC); an
-    exhausted pair space (fewer than k possible merges) stops early."""
+    exhausted pair space (fewer than k possible merges) stops early.
+
+    Every ``checkpoint_every`` merges the symbol column is materialized
+    (``localCheckpoint``, the CC generation pattern) and the previous
+    generation's blocks are released. Without it, round R re-evaluates
+    an R-deep replace chain over the cached word-freq base — O(K²·V)
+    total string work at realistic K (r5 verdict task 5; measured on a
+    100k-word vocab: per-merge time grows with rank unchekpointed, flat
+    with the cap). The merge TABLE is unaffected — checkpointing only
+    truncates lineage. ``0`` disables (useful for plan inspection)."""
+    from ktpm___ocr_spark.operators.dedup import _release_checkpoint
+
     spark = df.sparkSession
     wf = word_freq_symbols(df, text_col).persist()
+    gen: DataFrame | None = None
     try:
         out: list[tuple] = []
         cur = wf
@@ -152,6 +165,12 @@ def bpe_merges(
             lhs, rhs, f = top[0]["lhs"], top[0]["rhs"], top[0]["f"]
             out.append((rank, lhs, rhs, lhs + rhs, f))
             cur = apply_merge(cur, lhs, rhs)
+            if checkpoint_every and rank % checkpoint_every == 0:
+                nxt = cur.localCheckpoint(eager=True)
+                if gen is not None:
+                    _release_checkpoint(gen)
+                gen = nxt
+                cur = nxt
         return spark.createDataFrame(
             out,
             "merge_rank long, lhs string, rhs string, merged string, "
@@ -159,6 +178,10 @@ def bpe_merges(
         )
     finally:
         wf.unpersist()
+        if gen is not None:
+            # the returned merge table is driver-side rows — no reader
+            # ever references the last generation's blocks
+            _release_checkpoint(gen)
 
 
 def bpe_encode(
