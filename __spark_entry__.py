@@ -2844,81 +2844,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-5 window, rotated by STALENESS OF EVIDENCE (r4 verdict task 4),
-# not round number: (a) graph_pagerank immediately after its oracle fix,
-# (b) the four round-5 additions (checked the round they land), (c) every
-# entry whose code or oracle changed in round 5 after its last green
-# (a5_percentiles_binned oracle DECIMAL cast; multimodal decode_media
-# self-healing probe -> ppm/stub entries; inverted_index persist; kmeans
-# _centroid_update refactor), (d) the entries last checked in r2 that
-# still fit after the landing-round swaps — the deferred-to-r6 pool is
-# ✓-green trivial scalar projections/aggregations: 9 P-family +
-# dedup_minhash_sig, a4_success_failed/text_tokens/text_langid/
-# text_fingerprint/salted_user_value/value_outliers/robust_outliers
-# (swapped for the (b'') additions), text_domains/length_histogram/
-# corpus_split_counts (swapped for the (b''') additions), and
-# w4_sliding_windows/text_repetition (swapped for stream_dedup_wm and
-# kmv_grouped_domains) — all re-gated locally every round), and
-# (e) 11 stable anchors.
+# Round-6 window, rotated by STALENESS OF EVIDENCE: (a) the two round-6
+# additions (landing-round additions always get a driver row), (b) every
+# entry whose code changed in round 6 after its last green — the
+# shingles let-binding fix (entire minhash/jaccard/containment family +
+# their compositions), the in-row repetition/gate rewrite
+# (text_repetition, text_gopher_gate, corpus_assembly), the grouped-KMV
+# auto-selector, and the BPE checkpointing (bpe module) — all
+# value-identical rewrites, so the driver rows double as the
+# no-regression proof, (c) the complete ≤r2-evidence pool (r5 verdict
+# task 3: after r6 no entry's last driver check may be older than r3 —
+# these 23 are every remaining entry last checked in r1/r2, all ✓-green
+# and locally re-gated every round), and (d) the 11 stable anchors.
+# 2 + 14 + 23 + 11 = 50 exactly; every r6-changed entry is in.
 _DRIVER_WINDOW = [
-    # -- (a) red row fixed this round --
-    "graph_pagerank",
-    # -- (b) round-5 additions --
-    "incremental_dedup_pairs",
-    "line_dedup_clean",
-    "dup_passages",
-    "politeness_schedule",
-    # -- (c) code/oracle changed in r5 after last green --
-    "a5_percentiles_binned",
-    "multimodal_ppm_decode",
-    "multimodal_stub",
-    "inverted_index_terms",
-    "kmeans_fp_clusters",
-    # -- (b') late round-5 additions (swapped for two ✓1✓2 trivial
-    # projections, p2_composite_key and dedup_minhash_sig, deferred to
-    # r6 — landing-round additions always get a driver row) --
+    # -- (a) round-6 additions --
+    "nightly_increment",
+    "mixture_plan_weighted",
+    # -- (b) code changed in r6 after last green --
+    "kmv_grouped_domains",
     "bpe_merge_table",
     "bpe_encode_vocab",
-    "excise_passages_clean",
-    # -- (b'') latest round-5 additions (quality classifier, PMI
-    # collocations, CDC chunk dedup, layout reading order, triangle
-    # counts, cohort retention) — four ✓1✓2 trivial text projections
-    # plus the ✓2 salted_user_value/value_outliers moved to the r6 pool
-    # to make room --
-    "quality_classifier_score",
-    "pmi_collocations",
-    "cdc_chunks",
-    "layout_reading_order",
-    "graph_triangles",
-    "cohort_retention",
-    "snapshot_diff",
-    # -- (b''') final round-5 additions (static data-mixture planner,
-    # KMV bottom-k rank sketch, line-level code-switch detection) —
-    # text_domains, length_histogram, and corpus_split_counts (✓2
-    # stable trivial aggregations, re-gated locally every round) moved
-    # to the r6 pool to make room --
-    "mixture_plan",
-    "kmv_rank_sketch",
-    "code_switch_lines",
-    "stream_dedup_wm",
-    "kmv_grouped_domains",
-    # -- (c continued) code changed in r5 after last green --
+    "dedup_minhash_sig",
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
     "dedup_clusters",
-    "dedup_simhash",
-    # -- (d) last checked in r2, two rounds stale --
-    "interarrival_stats",
-    "funnel_counts",
-    "weighted_sample_docs",
+    "dedup_keep_canonical",
+    "dedup_recall_eval",
+    "incremental_dedup_pairs",
+    "corpus_assembly",
     "contamination_check",
-    "text_lm_score",
-    "semantic_dup_clusters",
-    "token_budget",
-    "stratified_sample",
-    "full_outer_counts",
-    "text_pii_redact",
+    "text_repetition",
     "text_gopher_gate",
-    "corpus_top_terms",
-    # -- (e) anchors: two-round-stable regression canaries --
+    # -- (c) the ≤r2-evidence pool, exhausted this round --
+    "p2_composite_key",
+    "p5_normalize_pdf",
+    "p6_normalize_txt",
+    "p7_skip_blank",
+    "p8_lang_norm",
+    "p9_title",
+    "p10_format_dispatch",
+    "p11_json_props",
+    "p12_hash_priority",
+    "c2_chunk_explode",
+    "w1_history_top5",
+    "w2_retention_cap",
+    "a4_success_failed",
+    "text_tokens",
+    "text_langid",
+    "text_fingerprint",
+    "salted_user_value",
+    "value_outliers",
+    "robust_outliers",
+    "text_domains",
+    "length_histogram",
+    "corpus_split_counts",
+    "w4_sliding_windows",
+    # -- (d) anchors: stable regression canaries (dedup_minhash_pairs
+    # doubles as the shingles-fix check) --
     "p1_sha256",
     "c1_chunk_roundtrip",
     "j5_dedup_groups",

@@ -326,6 +326,9 @@ def operator_bench(spark) -> dict[str, float]:
         "kmv_rank_sketch",
         "code_switch_lines",
         "kmv_grouped_domains",
+        # round-6 additions
+        "nightly_increment",
+        "mixture_plan_weighted",
     ]
     out: dict[str, float] = {}
     for name in headline:
