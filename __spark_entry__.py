@@ -2864,7 +2864,10 @@ _DRIVER_WINDOW = [
     # -- (b) code changed in r6 after last green --
     "kmv_grouped_domains",
     "bpe_merge_table",
-    "bpe_encode_vocab",
+    # bpe_encode_vocab's code path (wrap_chars/_symbols/replace chain) is
+    # untouched by the bpe_merges checkpoint change — its ✓5 evidence
+    # stands, and the slot goes to the excision rewrite instead
+    "excise_passages_clean",
     "dedup_minhash_sig",
     "dedup_ngram_jaccard",
     "dedup_containment_pairs",

@@ -410,3 +410,64 @@ def test_cdc_chunks_low_entropy_runs_never_shatter(spark):
     # never shatter into tiny chunks
     assert all(r["chunk_len"] == 200 for r in out), out
     assert len(out) <= len(runs)
+
+
+def test_excise_gap_slices_match_bruteforce_coverage_model(spark):
+    """The r6 interval-merge + gap-slice rewrite must keep EXACTLY the
+    tokens the per-position coverage model keeps, across adversarial
+    start patterns: disjoint regions, overlapping/adjacent windows,
+    full-doc coverage (the mega-clone shape that sent the old
+    exists()-per-position spelling quadratic), head/tail coverage, and
+    short docs below the window size."""
+    from ktpm___ocr_spark.operators.dedup import excise_repeated_passages
+
+    n = 4
+    # texts built from a positional alphabet so every window is unique
+    # unless planted; plant repeats by sharing word runs across docs
+    base = [f"w{i}" for i in range(40)]
+    rep = ["r0", "r1", "r2", "r3"]          # one shared window
+    rep2 = ["s0", "s1", "s2", "s3", "s4"]   # overlapping shared windows
+    docs = {
+        0: base[:10] + rep + base[10:16],           # repeat mid-doc
+        1: rep + base[16:26],                        # repeat at head
+        2: base[26:36] + rep,                        # repeat at tail
+        3: rep2 + base[36:40],                       # overlapping windows
+        4: ["x"] + rep2 + ["y"],                     # overlap mid
+        5: rep + rep,                                # dense coverage
+        6: rep + rep,                                # its clone: FULL coverage
+        7: ["a", "b"],                               # below window size
+        8: [],                                       # empty
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string"
+    )
+
+    # brute-force model: per-position exists() over repeated starts
+    from collections import Counter
+
+    win_docs = Counter()
+    per_doc_wins = {}
+    for i, ws in docs.items():
+        wins = {
+            (p, " ".join(ws[p : p + n]))
+            for p in range(len(ws) - n + 1)
+        }
+        per_doc_wins[i] = wins
+        for w in {w for _, w in wins}:
+            win_docs[w] += 1
+    hot = {w for w, c in win_docs.items() if c >= 2}
+    want = {}
+    for i, ws in docs.items():
+        starts = {p for p, w in per_doc_wins[i] if w in hot}
+        keep = [
+            t
+            for p, t in enumerate(ws)
+            if not any(s <= p < s + n for s in starts)
+        ]
+        want[i] = (" ".join(keep), len(ws), len(ws) - len(keep))
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in excise_repeated_passages(df, n=n, min_docs=2).collect()
+    }
+    assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want[k]}
