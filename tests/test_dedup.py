@@ -471,3 +471,53 @@ def test_excise_gap_slices_match_bruteforce_coverage_model(spark):
         for r in excise_repeated_passages(df, n=n, min_docs=2).collect()
     }
     assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+
+
+def test_excise_randomized_seeded_batch_matches_model(spark):
+    """Seeded randomized batch: 60 docs with random lengths, random
+    planted shared runs (so hot windows appear at arbitrary overlap
+    patterns), excised in ONE Spark call and compared to the
+    per-position Python coverage model doc-for-doc."""
+    import random
+
+    from ktpm___ocr_spark.operators.dedup import excise_repeated_passages
+
+    rng = random.Random(20260817)
+    n = 5
+    shared = [[f"s{g}_{i}" for i in range(rng.randint(n, 3 * n))]
+              for g in range(6)]
+    docs = {}
+    for d in range(60):
+        words = [f"u{d}_{i}" for i in range(rng.randint(0, 30))]
+        for _ in range(rng.randint(0, 3)):
+            run = shared[rng.randrange(len(shared))]
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + run + words[pos:]
+        docs[d] = words
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "doc_id long, text string",
+    )
+
+    from collections import Counter
+
+    win_docs = Counter()
+    per_doc = {}
+    for i, ws in docs.items():
+        wins = {(p, " ".join(ws[p : p + n])) for p in range(len(ws) - n + 1)}
+        per_doc[i] = wins
+        for w in {w for _, w in wins}:
+            win_docs[w] += 1
+    hot = {w for w, c in win_docs.items() if c >= 2}
+    want = {}
+    for i, ws in docs.items():
+        starts = {p for p, w in per_doc[i] if w in hot}
+        keep = [t for p, t in enumerate(ws)
+                if not any(s <= p < s + n for s in starts)]
+        want[i] = (" ".join(keep), len(ws), len(ws) - len(keep))
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in excise_repeated_passages(df, n=n, min_docs=2).collect()
+    }
+    assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want[k]}
