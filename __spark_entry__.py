@@ -2863,11 +2863,18 @@ _DRIVER_WINDOW = [
     "mixture_plan_weighted",
     # -- (b) code changed in r6 after last green --
     "kmv_grouped_domains",
-    "bpe_merge_table",
-    # bpe_encode_vocab's code path (wrap_chars/_symbols/replace chain) is
-    # untouched by the bpe_merges checkpoint change — its ✓5 evidence
-    # stands, and the slot goes to the excision rewrite instead
+    # the bpe entries' executed paths are provably unchanged (the merge
+    # checkpoint branch is unreachable at k=5 < 16; the encode chain is
+    # untouched) — their ✓5 evidence stands, and the slots go to the
+    # excision rewrite and to weighted_sample_docs, whose quality_score
+    # rank now counts punctuation via translate() instead of the
+    # pathological negated-class regexp_count (value-identical, but a
+    # real expression change worth driver evidence). The remaining
+    # transitive user of the shared helpers, convert_pipeline_docs
+    # (lang_id), is covered by text_langid in-window plus the local
+    # hash gate.
     "excise_passages_clean",
+    "weighted_sample_docs",
     "dedup_minhash_sig",
     "dedup_ngram_jaccard",
     "dedup_containment_pairs",

@@ -154,9 +154,21 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     pairs = spark.read.parquet(p_pairs)
     p_cc = stage("cc_clusters", lambda: dd.connected_components(pairs))
 
-    # 6. canonical keep: drop every non-canonical cluster member
+    # 6a. canonical choice per cluster — materialized as its own (tiny)
+    #     table. Fusing it into the anti-join plan leaves the corpus on
+    #     a static SortMergeJoin: the drop relation derives from
+    #     broadcast joins with NO Exchange beneath, so AQE has no
+    #     materialization point to re-plan from runtime stats (measured:
+    #     51 s fused vs 1.0 + 1.2 s staged at 400k). Cluster tables are
+    #     production tables anyway.
     cc = spark.read.parquet(p_cc)
-    canon = dd.keep_canonical(clean, cc, id_col="id")
+    p_canon = stage(
+        "canonical_ids", lambda: dd.keep_canonical(clean, cc, id_col="id")
+    )
+
+    # 6b. drop every non-canonical cluster member (both join inputs are
+    #     now parquet-backed and tiny -> static broadcast, no corpus sort)
+    canon = spark.read.parquet(p_canon)
     drop = (
         cc.join(canon, "cluster_id")
         .filter(F.col("node") != F.col("keep_id"))

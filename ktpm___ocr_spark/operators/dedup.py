@@ -834,6 +834,14 @@ def keep_canonical(
     non-duplicate majority never enters the shuffle), then a single
     groupBy on cluster_id using a max-of-struct ordering instead of a
     window (no sort, pure hash aggregate with map-side partials).
+
+    Composition note (measured, r6): MATERIALIZE this (tiny) result
+    before anti-joining the corpus against it. Fused into one plan, the
+    drop relation derives from broadcast joins with no Exchange beneath,
+    so AQE has no materialization point to re-plan — the corpus lands on
+    a static SortMergeJoin (51 s fused vs 1.0 + 1.2 s staged at 400k
+    docs). Cluster/keep tables are production tables anyway
+    (bench_composed.py stages 6a/6b).
     """
     from ktpm___ocr_spark.functions.textstats import quality_score
 
