@@ -415,25 +415,30 @@ def _top_frac_inrow(arr) -> Column:
     )
 
 
+def _bigrams_from(w: Column, n: Column) -> Column:
+    """Adjacent-word bigram list from an already-bound word array ``w``
+    of size ``n`` (< 2 words → empty array). Callers MUST pass lambda
+    variables (let-bound), never raw ``words_array`` expressions — a raw
+    expression re-inlines per position (the r6 shingles genus)."""
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _bigram_array(t) -> Column:
     """Adjacent-word bigram list of ``t`` (let-bound word array; < 2
     words → empty array)."""
     return let(
         words_array(t),
-        lambda w: let(
-            F.size(w),
-            lambda n: F.when(
-                n >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), n - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(w, i.cast("int")),
-                        F.element_at(w, (i + 1).cast("int")),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        ),
+        lambda w: let(F.size(w), lambda n: _bigrams_from(w, n)),
     )
 
 
@@ -480,14 +485,43 @@ def gopher_keep_expr(text_col: Column | str = "text") -> Column:
     the composition face: ``df.filter(gopher_keep_expr())`` gates in the
     scan stage with zero joins, where :func:`gopher_gate`'s (id, keep)
     relation is the audit face. Every signal is row-local since the r6
-    repetition rewrite."""
+    repetition rewrite.
+
+    All five signals are fused under ONE let-bound (words_array, size)
+    pair: the per-signal helpers each re-derive the split, so calling
+    them directly would evaluate the O(len) tokenization five times per
+    row on what is the hot scan-stage gate predicate (r6 advice — the
+    same fusion quality_score got in r6). Value-identical to the
+    helper-composed form: each conjunct's arithmetic is unchanged, only
+    the shared binding moved outward."""
     t = _col(text_col)
-    return (
-        F.size(words_array(t)).between(10, 100000)
-        & mean_word_len(t).between(3.0, 10.0)
-        & (stopword_ratio(t) >= 0.06)
-        & (_top_frac_inrow(words_array(t)) <= 0.30)
-        & (_top_frac_inrow(_bigram_array(t)) <= 0.18)
+
+    def _mean_len(ws, n):
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+            .cast("double")
+            / n.cast("double")
+        )
+
+    def _stop_ratio(ws, n):
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS)))
+            .cast("double")
+            / n.cast("double")
+        )
+
+    return let(
+        words_array(t),
+        lambda ws: let(
+            F.size(ws),
+            lambda n: (
+                n.between(10, 100000)
+                & _mean_len(ws, n).between(3.0, 10.0)
+                & (_stop_ratio(ws, n) >= 0.06)
+                & (_top_frac_inrow(ws) <= 0.30)
+                & (_top_frac_inrow(_bigrams_from(ws, n)) <= 0.18)
+            ),
+        ),
     )
 
 
@@ -951,6 +985,14 @@ def mixture_plan_weighted(
     ``budget · max_w < 2^63`` — any real budget with sane weights);
     epochs/planned_tokens follow mixture_plan's capped fixed-point
     arithmetic unchanged, so the output is bit-identical across engines.
+    Int64 envelope, weighted-path-specific: the epochs step computes
+    ``quota * 10^6`` BEFORE the div, so each per-domain quota must stay
+    below 2^63/10^6 ≈ 9.2·10^12 tokens — tighter than the quota step's
+    own bound when weights are skewed (one domain can absorb nearly the
+    whole budget). A 9.2-trillion-token single-domain quota is ~37 PB of
+    text; callers above that envelope should split the budget across
+    plan invocations. (mixture_plan documents the same 10^6 fixed-point
+    envelope for its uniform per-domain share.)
 
     Shape at 100 TB: identical to mixture_plan — ONE domain-keyed
     partial-aggregated shuffle, Σw via a single-partition window over

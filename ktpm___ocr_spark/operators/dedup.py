@@ -493,10 +493,14 @@ def excise_repeated_passages(
         clones (~160k tokens each, every window shared) never finished
         a 10-minute budget; here each merges to ONE region and costs
         two empty gaps (r5 verdict task 7)."""
+        # CaseWhen, not Or: `(i == 1) | (element_at(st, i-1) ...)` would
+        # evaluate element_at(st, 0) — a runtime error — for i = 1 unless
+        # the Or happens to short-circuit (an evaluation-order
+        # implementation detail, r6 advice); When's lazy branch is a
+        # documented guarantee.
         bounds = F.filter(
             F.sequence(F.lit(1), F.size(st)),
-            lambda i: (i == 1)
-            | (
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
                 F.element_at(st, i.cast("int"))
                 > F.element_at(st, (i - 1).cast("int")) + (n - 1)
             ),
