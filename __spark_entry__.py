@@ -830,9 +830,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = tfidf_top3
 
     # ---------------- dedup: minhash signatures, LSH pairs, simhash ----------------
+    # int64 signature values since the r7 single-hash-minwise redefinition
+    # (dedup.py module docstring); joined as decimal strings for the hash
+    # compare
     q["dedup_minhash_sig"] = lambda spark, sf: _t(spark, sf, "documents").select(
         "doc_id",
-        F.array_join(dd.minhash_signature(F.col("text")), ",").alias("sig"),
+        F.array_join(
+            F.transform(
+                dd.minhash_signature(F.col("text")), lambda v: v.cast("string")
+            ),
+            ",",
+        ).alias("sig"),
     )
 
     def dedup_lsh_pairs(spark, sf):
@@ -3307,23 +3315,37 @@ def oracle_sql() -> dict[str, str]:
         f"i -> {_words}[i] || ' ' || {_words}[i+1] || ' ' || {_words}[i+2]) "
         f"ELSE [array_to_string({_words}, ' ')] END)"
     )
+    # r7 single-hash minwise family (dedup.py module docstring): one
+    # 60-bit hash per shingle — the repo-standard sha256 hex-parse — and
+    # k fixed xor-salts shared as LITERALS with the Spark plan
+    # (dd.MINHASH_PERM_SALTS); min per salt in plain int64.
+    _mh_salts = "[" + ", ".join(str(c) for c in dd.MINHASH_PERM_SALTS) + "]"
     _sig = (
-        "list_transform(generate_series(0, 15), i -> substr("
-        "list_aggregate(list_transform(sh, g -> sha256(CAST(i AS VARCHAR) || "
-        "chr(31) || g)), 'min'), 1, 12))"
+        "list_transform(generate_series(1, 16), i -> "
+        f"list_aggregate(list_transform(hh, h -> xor(h, ({_mh_salts})[i])), "
+        "'min'))"
+    )
+    _sh_hash = (
+        "list_transform(sh, g -> CAST(('0x' || substr(sha256(g), 1, 15)) "
+        "AS BIGINT))"
     )
     o["dedup_minhash_sig"] = (
-        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents) "
-        f"SELECT doc_id, array_to_string({_sig}, ',') AS sig FROM s"
+        f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
+        f"hs AS (SELECT doc_id, {_sh_hash} AS hh FROM s) "
+        f"SELECT doc_id, array_to_string({_sig}, ',') AS sig FROM hs"
     )
     # minhash band/candidate CTEs shared by pairs, clusters, canonical-keep,
     # and the recall evaluation (parameterized by the source relation)
     def _mh_ctes_for(src):
         return (
             f"s AS (SELECT doc_id, {_shingles} AS sh FROM {src}), "
-            f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
-            "bands AS (SELECT doc_id, sh, b AS band_idx, sha256(sg[b*4+1] || "
-            "chr(31) || sg[b*4+2] || chr(31) || sg[b*4+3] || chr(31) || sg[b*4+4]) "
+            f"hs AS (SELECT doc_id, sh, {_sh_hash} AS hh FROM s), "
+            f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM hs), "
+            "bands AS (SELECT doc_id, sh, b AS band_idx, substr(sha256("
+            "CAST(sg[b*4+1] AS VARCHAR) || chr(31) || "
+            "CAST(sg[b*4+2] AS VARCHAR) || chr(31) || "
+            "CAST(sg[b*4+3] AS VARCHAR) || chr(31) || "
+            "CAST(sg[b*4+4] AS VARCHAR)), 1, 16) "
             "AS band_hash FROM sig, unnest([0,1,2,3]) AS t(b)), "
             "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
             "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "
@@ -4204,8 +4226,10 @@ WHERE rn <= 5
     # mirrors containment_pairs' low-Jaccard candidate scheme exactly
     o["dedup_containment_pairs"] = (
         f"WITH s AS (SELECT doc_id, {_shingles} AS sh FROM documents), "
-        f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM s), "
-        "bands AS (SELECT doc_id, b AS band_idx, sha256(sg[b+1]) AS "
+        f"hs AS (SELECT doc_id, sh, {_sh_hash} AS hh FROM s), "
+        f"sig AS (SELECT doc_id, sh, {_sig} AS sg FROM hs), "
+        "bands AS (SELECT doc_id, b AS band_idx, "
+        "substr(sha256(CAST(sg[b+1] AS VARCHAR)), 1, 16) AS "
         "band_hash FROM sig, unnest(generate_series(0, 15)) AS t(b)), "
         "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM "
         "bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = "

@@ -74,40 +74,59 @@ def _file_balance(spark, path: str) -> dict:
     }
 
 
-def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
+class InjectedKill(RuntimeError):
+    """Crash injection marker for the resume probe."""
+
+
+def run_chain(
+    spark,
+    corpus_path: str,
+    n_docs: int,
+    workdir: str,
+    fail_after: str | None = None,
+    fresh: bool = True,
+) -> dict:
     from pyspark.sql import functions as F
 
     from ktpm___ocr_spark.functions.packing import pack_samples, token_windows
-    from ktpm___ocr_spark.functions.textstats import (
-        gopher_keep_expr,
-        mixture_plan,
-    )
+    from ktpm___ocr_spark.functions.textstats import mixture_plan
+    from ktpm___ocr_spark.metrics import StagedRun
     from ktpm___ocr_spark.operators import dedup as dd
     from ktpm___ocr_spark.operators.arrow_native import extract_arrow_native
+    from ktpm___ocr_spark.operators.text_kernels import gopher_filter_arrow
 
     os.makedirs(workdir, exist_ok=True)
     stages: list[dict] = []
+    # every stage commits through the production stage manifest
+    # (StagedRun): a fresh bench run clears the manifest so all stages
+    # execute; a resume run (fresh=False) skips committed stages without
+    # invoking their thunks — the crash-resume layout the per-stage
+    # parquet materialization existed for all along
+    sr = StagedRun(spark, workdir)
+    if fresh and os.path.exists(sr.manifest_path):
+        os.remove(sr.manifest_path)
 
     def stage(name: str, mk_df, balance: bool = False) -> str:
         # mk_df is a THUNK: several operators (minhash_near_dups,
         # connected_components) eagerly materialize internally
         # (localCheckpoint), so building the DataFrame is part of the
         # stage's cost and must happen inside the timed window
-        out = os.path.join(workdir, name)
-        t0 = time.monotonic()
-        mk_df().write.mode("overwrite").parquet(out)
-        wall = time.monotonic() - t0
+        out, skipped, wall = sr.run_stage(name, mk_df)
         rows = spark.read.parquet(out).count()
         rec = {
             "stage": name,
             "sec": round(wall, 2),
             "rows_out": rows,
             "out_mb": round(_dir_bytes(out) / 1e6, 1),
-            "docs_per_sec": round(n_docs / wall, 1),
+            "docs_per_sec": round(n_docs / wall, 1) if wall else None,
         }
+        if skipped:
+            rec["resumed"] = True
         if balance:
             rec["balance"] = _file_balance(spark, out)
         stages.append(rec)
+        if fail_after == name:
+            raise InjectedKill(name)
         return out
 
     docs = spark.read.parquet(corpus_path)
@@ -127,8 +146,11 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
         ).alias("text"),
     )
     # the gate predicate is row-local (r6 in-row repetition rewrite), so
-    # it applies as a filter in the scan stage — no (id, keep) self-join
-    p_gate = stage("gate", lambda: ex.filter(gopher_keep_expr("text")))
+    # it applies as a filter in the scan stage — no (id, keep) self-join.
+    # r7: evaluated by the columnar Arrow kernel (decisions bit-identical
+    # to gopher_keep_expr — tests/test_text_kernels.py; the expression
+    # form was regex/HOF-bound at 98 s per 1M docs)
+    p_gate = stage("gate", lambda: gopher_filter_arrow(ex, "text"))
 
     # 3. C4 boilerplate line dedup (hot lines: df > 4 distinct docs —
     #    the synth corpus plants edge-snippet boilerplate corpus-wide,
@@ -221,15 +243,191 @@ def run_chain(spark, corpus_path: str, n_docs: int, workdir: str) -> dict:
     }
 
 
+def resume_probe(spark, n_docs: int) -> dict:
+    """Crash-resume proof at bench scale: full clean run (per-stage
+    baseline) → fresh run killed right after the minhash_pairs commit →
+    resumed run. The resumed run must skip every committed stage
+    (manifest-checked, thunks never invoked — StagedRun's contract) and
+    its wall clock should approach the clean run's residual (post-kill
+    stages only); the difference IS the resume overhead (manifest stats
+    + footer row counts of skipped stages)."""
+    corpus = f"/tmp/ktpm_bench_corpus_{n_docs}_p1024.parquet"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from ktpm___ocr_spark.sources.generator import materialize
+
+        materialize(spark, corpus, n_docs=n_docs, seed=42, partitions=1024)
+    kill_after = "minhash_pairs"
+    work = f"/tmp/ktpm_composed_resume_{n_docs}"
+    clean = run_chain(spark, corpus, n_docs, work + "_clean")
+    try:
+        run_chain(spark, corpus, n_docs, work, fail_after=kill_after)
+        raise AssertionError("injected kill did not fire")
+    except InjectedKill:
+        pass
+    t0 = time.monotonic()
+    resumed = run_chain(spark, corpus, n_docs, work, fresh=False)
+    resumed_wall = time.monotonic() - t0
+    skipped = [s["stage"] for s in resumed["stages"] if s.get("resumed")]
+    stage_names = [s["stage"] for s in clean["stages"]]
+    residual = sum(
+        s["sec"]
+        for s in clean["stages"]
+        if stage_names.index(s["stage"]) > stage_names.index(kill_after)
+    )
+    # correctness of the resume: every pre-kill stage skipped, and the
+    # final packing table matches the clean run's bit-for-bit
+    assert skipped == stage_names[: stage_names.index(kill_after) + 1], skipped
+    a = spark.read.parquet(os.path.join(work, "packing"))
+    b = spark.read.parquet(os.path.join(work + "_clean", "packing"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    return {
+        "probe": "resume",
+        "n_docs": n_docs,
+        "killed_after": kill_after,
+        "stages_skipped_on_resume": skipped,
+        "clean_total_sec": clean["total_sec"],
+        "clean_residual_sec": round(residual, 2),
+        "resumed_wall_sec": round(resumed_wall, 2),
+        "resume_overhead_sec": round(resumed_wall - residual, 2),
+        "final_table_identical": True,
+    }
+
+
+def nightly_probe(spark, n_docs: int, increments=(4_000, 40_000)) -> dict:
+    """The production nightly loop at bench scale: a 400k-doc base
+    corpus is banded ONCE (the persisted band table); each night an
+    increment arrives and is deduped against the corpus WITHOUT
+    re-banding it (incremental_near_dups). Measures wall vs increment
+    size — the cost claim is O(|increment|) plus a fixed band-table
+    probe, so 10× the increment must cost far less than 10× the wall —
+    and pins in the executed plan that the old side is a parquet SCAN of
+    the band table (exactly ONE banding kernel in the plan: the
+    increment's)."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.operators import dedup as dd
+    from ktpm___ocr_spark.operators.arrow_native import extract_arrow_native
+
+    corpus = f"/tmp/ktpm_bench_corpus_{n_docs}_p1024.parquet"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from ktpm___ocr_spark.sources.generator import materialize
+
+        materialize(spark, corpus, n_docs=n_docs, seed=42, partitions=1024)
+    base_dir = f"/tmp/ktpm_nightly_{n_docs}"
+    os.makedirs(base_dir, exist_ok=True)
+    texts_path = os.path.join(base_dir, "texts")
+    bands_path = os.path.join(base_dir, "bands")
+    if not os.path.exists(os.path.join(bands_path, "_SUCCESS")):
+        docs = extract_arrow_native(spark.read.parquet(corpus)).select(
+            F.substring("doc_id", 4, 8).cast("long").alias("id"),
+            F.array_join(
+                F.expr(
+                    "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        docs.write.mode("overwrite").parquet(texts_path)
+        t0 = time.monotonic()
+        dd.lsh_bands(
+            spark.read.parquet(texts_path).repartition(1024, "id"), "id", "text"
+        ).write.mode("overwrite").parquet(bands_path)
+        band_build = round(time.monotonic() - t0, 2)
+    else:
+        band_build = None
+    old_texts = spark.read.parquet(texts_path)
+    old_bands = spark.read.parquet(bands_path)
+    n_base = old_texts.count()
+    runs = []
+    for m in increments:
+        # deterministic increment: m/2 near-dup revisions of base docs
+        # (the nightly re-crawl) + m/2 genuinely new docs (vowel-rotated
+        # text — J far below threshold)
+        seed = old_texts.orderBy("id").limit(m)
+        inc = (
+            seed.limit(m // 2).select(
+                (F.col("id") + 100_000_000).alias("id"),
+                F.concat("text", F.lit(" rev2 nightly")).alias("text"),
+            )
+        ).unionAll(
+            seed.limit(m - m // 2).select(
+                (F.col("id") + 200_000_000).alias("id"),
+                F.translate("text", "aeiou", "01234").alias("text"),
+            )
+        )
+        inc_path = os.path.join(base_dir, f"inc_{m}")
+        inc.write.mode("overwrite").parquet(inc_path)
+        inc_df = spark.read.parquet(inc_path)
+        t0 = time.monotonic()
+        pairs = dd.incremental_near_dups(
+            old_bands, old_texts, inc_df, id_col="id", text_col="text"
+        )
+        n_pairs = pairs.count()
+        wall = round(time.monotonic() - t0, 2)
+        # plan pin on the lazy (eager=False) form: old side is a parquet
+        # SCAN of the band table; the only banding kernel (MapInArrow)
+        # is the increment's
+        plan = (
+            dd.incremental_near_dups(
+                old_bands,
+                old_texts,
+                inc_df,
+                id_col="id",
+                text_col="text",
+                eager=False,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        runs.append(
+            {
+                "increment_docs": m,
+                "wall_sec": wall,
+                "pairs": n_pairs,
+                "docs_per_sec": round(m / wall, 1),
+                "band_kernel_count_in_plan": plan.count("MapInArrow"),
+                "old_bands_scanned_from_parquet": "bands" in plan,
+            }
+        )
+    return {
+        "probe": "nightly_increment",
+        "base_docs": n_base,
+        "band_table_build_sec": band_build,
+        "runs": runs,
+    }
+
+
 def main() -> None:
     from ktpm___ocr_spark.session import get_spark
 
-    sizes = [int(a) for a in sys.argv[1:]] or [400_000, 1_000_000]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    do_resume = "--resume-probe" in sys.argv[1:]
+    do_nightly = "--nightly-probe" in sys.argv[1:]
+    sizes = [int(a) for a in args] or (
+        [400_000] if (do_resume or do_nightly) else [400_000, 1_000_000]
+    )
     spark = get_spark(
         app_name="bench-composed",
         master=f"local[{CPUS}]",
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g")},
     )
+    if do_resume:
+        res = resume_probe(spark, sizes[0])
+        print(json.dumps(res))
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "composed_resume.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        spark.stop()
+        return
+    if do_nightly:
+        res = nightly_probe(spark, sizes[0])
+        print(json.dumps(res))
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "nightly_increment.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        spark.stop()
+        return
     results = []
     for n in sizes:
         corpus = f"/tmp/ktpm_bench_corpus_{n}_p1024.parquet"

@@ -403,3 +403,103 @@ class IncrementalRun:
         return self.spark.read.parquet(
             *(os.path.join(self.out_dir, f"delta={d}") for d in deltas)
         )
+
+
+@dataclass
+class StagedRun:
+    """Stage-granular commit manifest for multi-stage corpus chains —
+    the cross-stage complement of ``CheckpointedRun``'s bucket manifest.
+
+    A corpus build is a linear chain of stage TABLES (extract → gate →
+    line-dedup → minhash pairs → clusters → …), each materialized to
+    parquet. This class makes that layout crash-resumable: every stage
+    commits (parquet dir fully written, then an atomic manifest append),
+    and a re-run **skips committed stages without invoking their thunk
+    at all** — the driver restarts, points at the same ``out_dir``, and
+    the chain resumes from the first uncommitted stage. That is the
+    production behavior the reference's job checkpoints provide
+    (``backend/utils/worker.js:53-112``: progress checkpoints + a result
+    store that makes finished work observable across restarts), lifted
+    to whole-stage granularity.
+
+    Crash window analysis: a kill mid-write leaves a partial parquet dir
+    with NO manifest entry — the re-run overwrites it (mode=overwrite),
+    so partial output is never read. A kill between the write and the
+    manifest append re-runs one stage (at-least-once per stage,
+    exactly-once per COMMITTED stage); stages are deterministic
+    DataFrame programs, so the overwrite converges. The manifest swap
+    itself is the same ``os.replace`` atomic-rename used by
+    ``CheckpointedRun``.
+
+    Stage thunks take no arguments and return the stage's DataFrame;
+    inputs are read from upstream stages' committed parquet paths
+    (``path()``), which is exactly what makes skipping sound — a resumed
+    stage sees byte-identical inputs to a clean run's.
+    """
+
+    spark: SparkSession
+    out_dir: str
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "_stages.json")
+
+    def _read(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"stages": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _write(self, m: dict) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def committed(self) -> dict[str, dict]:
+        return {e["stage"]: e for e in self._read()["stages"]}
+
+    def is_committed(self, name: str) -> bool:
+        # manifest entry AND the written table's own success marker: a
+        # manifest that somehow outlives its data (manual cleanup) must
+        # not skip the stage into reading a missing table
+        return name in self.committed() and os.path.exists(
+            os.path.join(self.path(name), "_SUCCESS")
+        )
+
+    def run_stage(
+        self, name: str, mk_df: Callable[[], DataFrame]
+    ) -> tuple[str, bool, float]:
+        """Execute (or skip) one stage; returns (path, skipped, wall_s).
+
+        Committed stages return without calling ``mk_df`` — resume cost
+        is two file stats, not a recompute."""
+        out = self.path(name)
+        if self.is_committed(name):
+            return out, True, 0.0
+        t0 = time.monotonic()
+        mk_df().write.mode("overwrite").parquet(out)
+        wall = time.monotonic() - t0
+        n_bytes = sum(
+            os.path.getsize(os.path.join(out, fn))
+            for fn in os.listdir(out)
+            if fn.endswith(".parquet")
+        )
+        m = self._read()
+        m["stages"] = [e for e in m["stages"] if e["stage"] != name] + [
+            {
+                "stage": name,
+                "sec": round(wall, 3),
+                "bytes": n_bytes,
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "snapshot_id": uuid.uuid4().hex,
+            }
+        ]
+        self._write(m)
+        return out, False, wall

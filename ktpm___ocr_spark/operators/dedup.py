@@ -16,10 +16,22 @@ Generalizes the reference's content-addressed dedup (the sha256 cache key,
 
 Portability: hashes derive from sha256 hex strings (never engine-native
 ``hash()``), so the driver's DuckDB oracle can reproduce signatures
-bit-for-bit. MinHash "permutations" are seeded by prefixing the shingle
-with the permutation index before hashing; min is taken over the hex
-strings (lexicographic order — identical across engines for lowercase
-hex of equal length).
+bit-for-bit. MinHash "permutations" are the single-hash minwise family
+(Broder 1997 §4's linear-transform family, as deployed in every
+production minhash since): ONE 60-bit shingle hash — the repo-standard
+``first 15 hex chars of sha256 → int64`` — xor-mixed with k fixed salts,
+min per salt in plain int64. r7 redefinition, measured not guessed: the
+previous k-independent-sha formulation (sha256 of the index-prefixed
+shingle, min over hex strings) spent 16 sha256 calls per shingle;
+kernel profiling at 400k docs put that at ~1,540 core-seconds of pure
+OpenSSL time (213M shingles × 16 × ~450 ns) — the floor of ANY
+implementation of that definition, 48 s of the 60 s stage wall. The
+xor-mix family computes one sha per shingle and k SIMD xors, is equally
+reproducible in ANSI SQL (``xor(bigint, bigint)`` + the same hex-parse
+cast), and exact duplicates still collide on every band under any hash
+family; near-dup candidate recall at J ≳ 0.6 is property-tested on
+planted variant pairs (tests/test_dedup.py), and precision is untouched
+because candidates are always re-verified by exact Jaccard.
 
 Scale notes: the LSH band join shuffles on (band_idx, band_hash) whose
 cardinality ≫ keys, so it distributes well; hot buckets (boilerplate-
@@ -37,7 +49,19 @@ from ktpm___ocr_spark.functions.textstats import words_array
 MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands × 4 rows ≈ catches jaccard ≳ 0.6
 SHINGLE_N = 3
-SIG_PREFIX = 12  # hex chars of each minhash kept in the signature
+BAND_HEX = 16  # hex chars of the band sha kept — 64-bit buckets; band
+# collisions only cost a wasted exact-Jaccard verify, never a bad pair
+
+# The k fixed 60-bit xor-salts of the minhash family — derived once from
+# sha256 so any engine can re-derive them, and injected as LITERALS into
+# both the Spark plan and the DuckDB oracle (the two sides share these
+# exact integers, not a derivation convention).
+import hashlib as _hashlib
+
+MINHASH_PERM_SALTS = [
+    int(_hashlib.sha256(f"minhash-perm-{i}".encode()).hexdigest()[:15], 16)
+    for i in range(MINHASH_K)
+]
 
 
 def shingles(text, n: int = SHINGLE_N):
@@ -73,36 +97,39 @@ def shingles(text, n: int = SHINGLE_N):
     )
 
 
-def minhash_signature(text, k: int = MINHASH_K) -> F.Column:
-    """Array of k minhash values (sha256-hex prefixes, lexicographic min).
+def shingle_hash64(g) -> F.Column:
+    """First 60 bits of sha256(shingle) as int64 — the repo-standard
+    portable hash (both engines parse the same 15 hex chars; never
+    engine-native hash())."""
+    return F.conv(F.substring(F.sha2(g, 256), 1, 15), 16, 10).cast("long")
 
-    ``let``-bound so the shingle set is computed once, not k times.
-    Physical shape: ONE fold over the shingle set accumulating the
-    k-element running-min array (``zip_with least``) — identical sha256
-    count, but no k intermediate per-permutation hash arrays and a single
-    pass over the shingles (same single-fold trick as ``simhash64``; the
-    DuckDB oracle keeps the per-permutation formulation and stays
-    hash-equal).
+
+def minhash_signature(text, k: int = MINHASH_K) -> F.Column:
+    """Array of k minhash values (int64): per salt C_i, the min over
+    shingles of ``shingle_hash64(g) XOR C_i`` (single-hash minwise
+    family — module docstring has the r7 redefinition rationale and the
+    measured 16-sha floor it removes).
+
+    ``let``-bound so the shingle set is computed once, not k times, and
+    the shingle hash once per shingle, not k times. Physical shape: ONE
+    fold over the shingle set accumulating the k-element running-min
+    array (``zip_with least``); xor never overflows (both operands are
+    60-bit, so every value stays a positive int64 in any engine).
     """
+    salts = F.array(
+        *[F.lit(c).cast("long") for c in MINHASH_PERM_SALTS[:k]]
+    )
     return let(
         shingles(text),
-        lambda sh: F.transform(
-            F.aggregate(
-                sh,
-                # sentinel sorts after any lowercase-hex sha256 string
-                F.array_repeat(F.lit("￿"), k),
-                lambda acc, s: F.zip_with(
-                    acc,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(k - 1)),
-                        lambda i: F.sha2(
-                            F.concat_ws("\x1f", i.cast("string"), s), 256
-                        ),
-                    ),
-                    lambda a, h: F.least(a, h),
+        lambda sh: F.aggregate(
+            sh,
+            F.array_repeat(F.lit((1 << 63) - 1).cast("long"), k),
+            lambda acc, s: let(
+                shingle_hash64(s),
+                lambda h: F.zip_with(
+                    acc, salts, lambda a, c: F.least(a, h.bitwiseXOR(c))
                 ),
             ),
-            lambda m: F.substring(m, 1, SIG_PREFIX),
         ),
     )
 
@@ -118,9 +145,35 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def lsh_bands(
-    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """(id, band_idx, band_hash) — the LSH bucketing relation."""
+    """(id, band_idx, band_hash) — the LSH bucketing relation.
+
+    ``impl="arrow"`` (default) computes the signatures in the
+    mapInArrow kernel (text_kernels.lsh_bands_arrow): bit-identical
+    values — same tokenizer, same per-permutation sha256, same band
+    hash, pinned by tests/test_text_kernels.py — at a fraction of the
+    expression path's per-row constant. The r6 composed probe measured
+    the expression form allocation-bound (per-shingle string
+    materialization + fold arrays; 62 % of the 1M-doc corpus-build wall
+    clock), and its 16→4-sha negative result showed hashing itself was
+    only ~14 % of the cost — so the win is eliminating Catalyst's
+    per-shingle array materialization, which only a kernel can.
+    ``impl="expr"`` keeps the pure-Catalyst formulation: it is the
+    executable spec the kernel is property-tested against, and the
+    fallback for running without python workers.
+    """
+    if impl == "arrow":
+        from ktpm___ocr_spark.operators.text_kernels import lsh_bands_arrow
+
+        return lsh_bands_arrow(df, id_col, text_col, k, bands)
+    if impl != "expr":
+        raise ValueError(f"unknown lsh_bands impl {impl!r}")
     rows = k // bands
     band_structs = let(
         minhash_signature(F.col(text_col), k),
@@ -128,15 +181,21 @@ def lsh_bands(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.cast("int").alias("band_idx"),
-                F.sha2(
-                    F.concat_ws(
-                        "\x1f",
-                        *[
-                            F.element_at(sig, (b * rows + r + 1).cast("int"))
-                            for r in range(rows)
-                        ],
+                F.substring(
+                    F.sha2(
+                        F.concat_ws(
+                            "\x1f",
+                            *[
+                                F.element_at(
+                                    sig, (b * rows + r + 1).cast("int")
+                                ).cast("string")
+                                for r in range(rows)
+                            ],
+                        ),
+                        256,
                     ),
-                    256,
+                    1,
+                    BAND_HEX,
                 ).alias("band_hash"),
             ),
         ),

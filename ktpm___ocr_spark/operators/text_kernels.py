@@ -1,0 +1,307 @@
+"""Arrow-batched kernels for the two hottest per-row text stages.
+
+Round-6's composed-pipeline probe left two stages owning ~87 % of the
+1M-doc corpus-build wall clock, both already on their best *plan* (zero
+or one Exchange, linear 400k→1M) but paying a large per-row *constant*
+in Catalyst expression evaluation:
+
+* MinHash banding (62 %): the expression path materializes every word
+  n-gram shingle as a concatenated string and folds k running-min hash
+  arrays per shingle — measured allocation-bound, not hash-bound (r6:
+  cutting 16→4 sha256/shingle saved only 11 %; GCLocker "Retried
+  waiting" warnings = humongous-allocation thrash from per-row arrays).
+* The Gopher gate (25 %): five split/HOF signals per row; even fused
+  under one let-bound word array, Catalyst's interpreted HOF folds cost
+  ~10× what flat columnar passes do (extract's mapInArrow path runs
+  74k docs/s on the same rows).
+
+These kernels re-express BOTH stages in the ``arrow_native.py`` shape —
+``mapInArrow``, separate python-worker heaps per core, columnar
+compute — while staying **bit-identical** to the expression forms (and
+therefore to the driver's DuckDB oracles, which reproduce the sha256
+arithmetic): same tokenizer (lower → split on Java-``\\s`` =
+``[ \\t\\n\\x0b\\f\\r]`` → drop empties), same single-hash minwise
+signature (one 60-bit sha256-derived hash per shingle, k fixed
+xor-salts, min per salt — dedup.py module docstring has the family's
+rationale), same band hash, same Gopher thresholds including the
+HALF_UP ``round(_, 4)`` boundary semantics. Equivalence is pinned by
+tests/test_text_kernels.py (fixture corpus + adversarial boundary
+rows), not by claim.
+
+Reference anchor: the content-hash dedup family is the reference's core
+value (``backend/filters/cacheFilter.js:8-13``); the quality gate
+extends its per-document text stage (``backend/filters/ocrFilter.js``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["lsh_bands_arrow", "gopher_filter_arrow", "gopher_gate_arrow"]
+
+# Java regex \s (Pattern.split in Spark's `split`) is the ASCII class
+# [ \t\n\x0B\f\r]; spelled explicitly so the Python tokenizer matches it
+# exactly (Python-ASCII \s would also match, but explicit beats implicit
+# on the one character — \x0b — where RE2's \s disagrees).
+_WS_CLASS = "[ \t\n\x0b\f\r]"
+_SPLIT_RE = re.compile(_WS_CLASS + "+")
+
+_SHINGLE_N = 3  # == dedup.SHINGLE_N (pinned by tests/test_text_kernels.py)
+_BAND_HEX = 16  # == dedup.BAND_HEX
+
+
+def _words(text: str | None) -> list[str]:
+    """words_array semantics: lower, split on Java-\\s runs, drop ''."""
+    if not text:
+        return []
+    return [w for w in _SPLIT_RE.split(text.lower()) if w]
+
+
+def _shingle_bytes(ws: list[str], n: int = _SHINGLE_N) -> list[bytes]:
+    """Distinct word n-gram shingles (utf-8); short texts fall back to
+    one whole-text shingle — dedup.shingles semantics exactly
+    (including the '' shingle for an empty word list)."""
+    if len(ws) >= n:
+        sh = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    else:
+        sh = {" ".join(ws)}
+    return [s.encode("utf-8") for s in sh]
+
+
+def lsh_bands_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) — bit-identical to the expression
+    ``lsh_bands`` (dedup.py), computed in one Arrow pass.
+
+    Per row: tokenize once, build the distinct shingle set once, ONE
+    sha256 per shingle (the measured floor of the old k-sha definition
+    was ~16× this — dedup.py module docstring), then the k xor-mixes and
+    per-doc mins run as TWO numpy passes over the whole batch:
+    ``bitwise_xor.outer(H, salts)`` and ``minimum.reduceat`` at doc
+    starts — no per-doc Python in the mixing. ``digest()[:8]`` big-endian
+    shifted right 4 bits == the first 15 hex chars parsed as int64, the
+    same value both Catalyst (``conv(substring(sha2,1,15),16,10)``) and
+    DuckDB (``('0x' || substr(sha256,1,15))::BIGINT``) compute. The band
+    hash is ``substr(sha256(concat_ws(0x1f, decimal-strings)), 1, 16)``,
+    identical across all three formulations.
+
+    Scale shape: embarrassingly parallel projection + explode (bands
+    rows out per doc); no shuffle here — the consumer's band-bucket
+    equi-join is where the one shuffle lives, same as before.
+    """
+    from ktpm___ocr_spark.operators.dedup import MINHASH_PERM_SALTS
+
+    rows = k // bands
+    sha = hashlib.sha256
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("band_idx", IntegerType()),
+            StructField("band_hash", StringType()),
+        ]
+    )
+    src = df.select(id_col, text_col)
+
+    def compute(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        salts = np.array(MINHASH_PERM_SALTS[:k], dtype=np.uint64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            hashes: list[int] = []
+            starts: list[int] = []
+            for t in texts:
+                starts.append(len(hashes))
+                hashes.extend(
+                    int.from_bytes(sha(s).digest()[:8], "big") >> 4
+                    for s in _shingle_bytes(_words(t))
+                )
+            h_all = np.array(hashes, dtype=np.uint64)
+            # (n_shingles, k) xor matrix → per-doc column mins; every doc
+            # has ≥ 1 shingle (empty text ⇒ the '' shingle), so reduceat
+            # segments are always non-empty
+            sig = np.minimum.reduceat(
+                np.bitwise_xor.outer(h_all, salts),
+                np.array(starts, dtype=np.int64),
+                axis=0,
+            )
+            take_idx: list[int] = []
+            bidx: list[int] = []
+            bhash: list[str] = []
+            for row_i, sig_row in enumerate(sig.tolist()):
+                for b in range(bands):
+                    seg = "\x1f".join(
+                        map(str, sig_row[b * rows : (b + 1) * rows])
+                    )
+                    take_idx.append(row_i)
+                    bidx.append(b)
+                    bhash.append(
+                        sha(seg.encode("utf-8")).hexdigest()[:_BAND_HEX]
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(take_idx, type=pa.int32())),
+                    pa.array(bidx, type=pa.int32()),
+                    pa.array(bhash, type=pa.string()),
+                ],
+                names=[id_col, "band_idx", "band_hash"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Gopher gate kernel
+# ---------------------------------------------------------------------------
+
+# Exact HALF_UP boundary transforms for `round(frac, 4) <= T`:
+# Spark's Round(double) is BigDecimal.valueOf(d) (= Double.toString's
+# shortest decimal repr) setScale(4, HALF_UP), so the predicate holds
+# iff repr(d) < T + 0.00005. Shortest-repr rounding intervals tile the
+# reals at double midpoints, and "0.30005"/"0.18005" are themselves the
+# shortest reprs of their nearest doubles, so repr(d) < boundary is
+# EXACTLY d < float64(boundary) — no epsilon, no Decimal in the hot
+# loop. (Derivation + randomized pin: tests/test_text_kernels.py.)
+_TOP_WORD_LT = 0.30005  # round4(f) <= 0.30
+_TOP_BIGRAM_LT = 0.18005  # round4(f) <= 0.18
+
+
+def _gopher_keep_mask(texts):
+    """numpy bool mask of gopher_keep_expr decisions for a pyarrow
+    string array — fully columnar (RE2 split + dictionary-encode mode
+    counting; no per-row Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_rows = len(texts)
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    wl_list = pc.split_pattern_regex(low, pattern=_WS_CLASS + "+")
+    if isinstance(wl_list, pa.ChunkedArray):
+        wl_list = wl_list.combine_chunks()
+    offsets = np.asarray(wl_list.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    flat = wl_list.flatten()
+    wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    nonempty = wlen > 0  # split artifacts ('' around separators) drop
+    doc_idx = doc_idx[nonempty]
+    wlen = wlen[nonempty]
+    flat = flat.filter(pa.array(nonempty))
+
+    n = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+    sum_len = np.bincount(doc_idx, weights=wlen, minlength=n_rows)
+    safe_n = np.maximum(n, 1).astype(np.float64)
+    mean_len = sum_len / safe_n  # n==0 rows fail the length gate anyway
+
+    from ktpm___ocr_spark.functions.textstats import EN_STOPWORDS
+
+    dic = flat.dictionary_encode()
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    vocab = dic.dictionary
+    is_stop = np.asarray(
+        pc.is_in(vocab, value_set=pa.array(EN_STOPWORDS))
+    ).astype(np.float64)
+    n_stop = np.bincount(doc_idx, weights=is_stop[codes], minlength=n_rows)
+    stop_ratio = n_stop / safe_n
+
+    def _max_multiplicity(keys: "np.ndarray", docs: "np.ndarray"):
+        """per-doc max multiplicity of (doc, key) — the run-length form
+        of _top_frac_inrow's sort+fold, vectorized."""
+        best = np.zeros(n_rows, dtype=np.int64)
+        if len(keys) == 0:
+            return best
+        order = np.lexsort((keys, docs))
+        sk, sd = keys[order], docs[order]
+        run_start = np.flatnonzero(
+            np.r_[True, (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])]
+        )
+        run_len = np.diff(np.r_[run_start, len(sk)])
+        run_doc = sd[run_start]
+        grp_start = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+        best[run_doc[grp_start]] = np.maximum.reduceat(run_len, grp_start)
+        return best
+
+    top_word = _max_multiplicity(codes, doc_idx) / safe_n
+
+    same_doc = doc_idx[:-1] == doc_idx[1:] if len(codes) else np.array([], bool)
+    u = len(vocab) + 1
+    bi_keys = (codes[:-1] * u + codes[1:])[same_doc] if len(codes) else codes
+    bi_docs = doc_idx[:-1][same_doc] if len(codes) else doc_idx
+    n_bi = np.maximum(n - 1, 0)
+    top_bigram = _max_multiplicity(bi_keys, bi_docs) / np.maximum(
+        n_bi, 1
+    ).astype(np.float64)
+
+    return (
+        (n >= 10)
+        & (n <= 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (stop_ratio >= 0.06)
+        & (top_word < _TOP_WORD_LT)
+        & (top_bigram < _TOP_BIGRAM_LT)
+    )
+
+
+def gopher_filter_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composition face: rows of ``df`` where the Gopher gate keeps the
+    document — ``df.filter(gopher_keep_expr(text_col))`` with the
+    predicate evaluated in one columnar Arrow pass (decisions
+    bit-identical; see module docstring). Schema passes through
+    unchanged, so this drops into any scan stage."""
+    text_idx = df.columns.index(text_col)
+
+    def compute(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keep = _gopher_keep_mask(batch.column(text_idx))
+            yield batch.filter(pa.array(keep))
+
+    return df.mapInArrow(compute, df.schema)
+
+
+def gopher_gate_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Audit face: (id, keep) for every input row — gopher_gate's
+    contract, kernel-evaluated."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("keep", BooleanType()),
+        ]
+    )
+    src = df.select(id_col, text_col)
+
+    def compute(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keep = _gopher_keep_mask(batch.column(1))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(keep)], names=[id_col, "keep"]
+            )
+
+    return src.mapInArrow(compute, out_schema)

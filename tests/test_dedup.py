@@ -61,6 +61,39 @@ def test_minhash_near_dups_finds_pairs(spark, docs):
     assert all(a != 4 and b != 4 for a, b in pairs)
 
 
+def test_minhash_banding_recall_on_planted_variants(spark):
+    """Recall property of the r7 single-hash xor-mix minwise family
+    (dedup.py module docstring): exact clones are caught with
+    probability 1 under ANY hash family (identical shingle sets ⇒
+    identical signatures ⇒ every band matches), and high-Jaccard
+    variants (one word edited in 60 ⇒ J ≈ 0.90, band-match expectation
+    1-(1-J⁴)⁴ ≈ 0.99) are caught at ≥ 0.8 recall. Deterministic: the
+    family is fixed, so this is a regression pin, not a coin flip."""
+    import random
+
+    rng = random.Random(11)
+    rows, expected = [], set()
+    for d in range(30):
+        ws = [f"w{d}x{rng.randrange(10000)}" for _ in range(60)]
+        rows.append((3 * d, " ".join(ws)))
+        rows.append((3 * d + 1, " ".join(ws)))  # exact clone
+        var = list(ws)
+        var[rng.randrange(60)] = "EDITED"
+        rows.append((3 * d + 2, " ".join(var)))  # J ≈ 0.90 variant
+        expected.add((3 * d, 3 * d + 1))
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(df, "id", "text", threshold=0.6).collect()
+    }
+    assert expected <= pairs  # every exact clone pair, no exceptions
+    variant_pairs = {
+        (3 * d, 3 * d + 2) for d in range(30)
+    } | {(3 * d + 1, 3 * d + 2) for d in range(30)}
+    recall = len(pairs & variant_pairs) / len(variant_pairs)
+    assert recall >= 0.8, recall
+
+
 def test_ngram_jaccard_bounds(spark, docs):
     j = docs.alias("a").crossJoin(docs.alias("b")).select(
         F.col("a.id").alias("ia"),

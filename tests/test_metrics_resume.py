@@ -238,3 +238,139 @@ def test_manifest_mutations_are_thread_safe(spark, tmp_path_factory):
     m = run._read_manifest()
     assert len(m["entries"]) == 64, "lost commit entries under concurrency"
     assert m["status"] == "cancelled", "cancel marker overwritten by a commit"
+
+
+# ---------------------------------------------------------------------------
+# StagedRun: stage-granular resume for composed corpus chains
+# ---------------------------------------------------------------------------
+
+
+def _mini_chain(spark, src_path, sr):
+    """3-stage corpus chain (gate → line dedup → exact dup groups) over a
+    StagedRun — the composed-pipeline layout at test scale. Thunks count
+    their invocations so the resume test can prove skipped stages never
+    re-execute."""
+    from ktpm___ocr_spark.functions.textstats import gopher_gate
+    from ktpm___ocr_spark.metrics import StagedRun
+    from ktpm___ocr_spark.operators import dedup as dd
+
+    calls: dict[str, int] = {}
+
+    def counted(name, thunk):
+        def mk():
+            calls[name] = calls.get(name, 0) + 1
+            return thunk()
+
+        return mk
+
+    docs = spark.read.parquet(src_path)
+    p1, sk1, _ = sr.run_stage(
+        "gate", counted("gate", lambda: gopher_gate(docs, "doc_id", "text"))
+    )
+    kept = spark.read.parquet(p1).filter("keep").select("doc_id")
+    gated = docs.join(kept, "doc_id")
+    p2, sk2, _ = sr.run_stage(
+        "line_dedup",
+        counted(
+            "line_dedup",
+            lambda: dd.boilerplate_line_filter(gated, "doc_id", "text"),
+        ),
+    )
+    clean = spark.read.parquet(p2).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    p3, sk3, _ = sr.run_stage(
+        "dups",
+        counted("dups", lambda: dd.exact_dup_groups(clean, "doc_id", "text")),
+    )
+    return calls, [sk1, sk2, sk3], p3
+
+
+def test_staged_run_resumes_without_recompute(spark, tmp_path, sf001_dir):
+    """Kill between stages → re-run → stages before the kill are skipped
+    (thunks not invoked, manifest snapshot ids unchanged) and the final
+    table is identical to a clean run's."""
+    import json as _json
+
+    from ktpm___ocr_spark.metrics import StagedRun
+
+    src = f"{sf001_dir}/documents.parquet"
+
+    # clean run in its own dir — the ground truth
+    clean_sr = StagedRun(spark, str(tmp_path / "clean"))
+    _, _, p_clean = _mini_chain(spark, src, clean_sr)
+
+    # crashed run: execute stages 1-2, then "crash" (simply stop calling)
+    work = str(tmp_path / "crashed")
+    sr = StagedRun(spark, work)
+    calls: dict[str, int] = {}
+
+    def counted(name, thunk):
+        def mk():
+            calls[name] = calls.get(name, 0) + 1
+            return thunk()
+
+        return mk
+
+    from ktpm___ocr_spark.functions.textstats import gopher_gate
+    from ktpm___ocr_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(src)
+    p1, _, _ = sr.run_stage(
+        "gate", counted("gate", lambda: gopher_gate(docs, "doc_id", "text"))
+    )
+    kept = spark.read.parquet(p1).filter("keep").select("doc_id")
+    sr.run_stage(
+        "line_dedup",
+        counted(
+            "line_dedup",
+            lambda: dd.boilerplate_line_filter(
+                docs.join(kept, "doc_id"), "doc_id", "text"
+            ),
+        ),
+    )
+    with open(sr.manifest_path) as f:
+        snaps_before = {
+            e["stage"]: e["snapshot_id"] for e in _json.load(f)["stages"]
+        }
+
+    # resume: a NEW StagedRun over the same dir runs the whole chain
+    resumed = StagedRun(spark, work)
+    calls2, skipped, p_final = _mini_chain(spark, src, resumed)
+    assert skipped == [True, True, False]
+    assert "gate" not in calls2 and "line_dedup" not in calls2  # never re-ran
+    assert calls2 == {"dups": 1}
+    with open(resumed.manifest_path) as f:
+        snaps_after = {
+            e["stage"]: e["snapshot_id"] for e in _json.load(f)["stages"]
+        }
+    # committed stages keep their original snapshot ids — nothing rewrote them
+    assert snaps_after["gate"] == snaps_before["gate"]
+    assert snaps_after["line_dedup"] == snaps_before["line_dedup"]
+
+    a = spark.read.parquet(p_final)
+    b = spark.read.parquet(p_clean)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_staged_run_partial_write_is_overwritten(spark, tmp_path, sf001_dir):
+    """A stage dir WITHOUT a manifest entry (crash mid-write) is not
+    trusted: the stage re-executes and overwrites."""
+    import os
+
+    from ktpm___ocr_spark.metrics import StagedRun
+
+    src = f"{sf001_dir}/documents.parquet"
+    sr = StagedRun(spark, str(tmp_path / "w"))
+    # fake a partial write: stage dir exists, no _SUCCESS-backed commit
+    os.makedirs(sr.path("gate"), exist_ok=True)
+    with open(os.path.join(sr.path("gate"), "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    docs = spark.read.parquet(src)
+    from ktpm___ocr_spark.functions.textstats import gopher_gate
+
+    p, skipped, wall = sr.run_stage(
+        "gate", lambda: gopher_gate(docs, "doc_id", "text")
+    )
+    assert not skipped and wall > 0
+    assert spark.read.parquet(p).count() == docs.count()

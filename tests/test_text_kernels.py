@@ -1,0 +1,211 @@
+"""Kernel ≡ expression pins for operators/text_kernels.py.
+
+The Arrow kernels are only allowed to exist because they are
+bit-identical to the Catalyst expression forms (which the driver's
+DuckDB oracles mirror). These tests ARE that contract: fixture corpus
+plus adversarial rows through both paths, full-row equality — and a
+pure-math pin of the HALF_UP round-boundary transform the gate kernel
+uses in place of per-row Decimal rounding.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ktpm___ocr_spark.functions import textstats
+from ktpm___ocr_spark.operators import dedup as dd
+from ktpm___ocr_spark.operators import text_kernels as tk
+
+# deterministic adversarial rows: whitespace-class edges (\x0b is the
+# char where RE2's \s and Java's \s disagree — both kernels must treat
+# it as a separator because Java does), unicode, case, short texts,
+# heavy repetition, and split-artifact shapes (leading/trailing runs)
+ADVERSARIAL = [
+    None,
+    "",
+    "   ",
+    "\t\n\x0b\f\r",
+    "word",
+    "two words",
+    "a b c",
+    "  leading and trailing  ",
+    "tab\tsep\nnewline\x0bvtab\fformfeed\rcarriage end",
+    "UPPER Case MiXeD lower",
+    "café naïve straße 東京 \U0001f680 words here",
+    "nbsp is not a separator but space is",
+    "dup dup dup dup dup",
+    "the the the the the the the the the the",
+    "1 22 333 4444 55555 punct, punct. punct! ?",
+    "x y x y x y x y x y x y",
+    " ".join(f"w{i % 7}" for i in range(64)),
+    " ".join(f"tok{i}" for i in range(40)) + " the a of in on",
+]
+
+
+def _rand_texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    seps = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \n "]
+    vocab = [f"w{j}" for j in range(30)] + list(textstats.EN_STOPWORDS[:8]) + [
+        "LongerWordHere",
+        "xyzzy",
+        "café",
+        "AB",
+    ]
+    out = []
+    for _ in range(n):
+        k = rng.randrange(0, 40)
+        parts = []
+        for _ in range(k):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(seps))
+        out.append("".join(parts))
+    return out
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("bands", [4, 16])
+def test_lsh_bands_kernel_equals_expression_adversarial(spark, bands):
+    df = _df(spark, ADVERSARIAL + _rand_texts(120, seed=7))
+    a = dd.lsh_bands(df, "doc_id", "text", k=16, bands=bands, impl="arrow")
+    e = dd.lsh_bands(df, "doc_id", "text", k=16, bands=bands, impl="expr")
+    assert a.schema.fieldNames() == e.schema.fieldNames()
+    assert [f.dataType for f in a.schema.fields] == [
+        f.dataType for f in e.schema.fields
+    ]
+    assert _rows(a) == _rows(e)
+
+
+def test_lsh_bands_kernel_equals_expression_fixture(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    a = dd.lsh_bands(docs, "doc_id", "text", impl="arrow")
+    e = dd.lsh_bands(docs, "doc_id", "text", impl="expr")
+    assert _rows(a) == _rows(e)
+
+
+def test_kernel_constants_match_dedup():
+    assert tk._SHINGLE_N == dd.SHINGLE_N
+    assert tk._BAND_HEX == dd.BAND_HEX
+
+
+def test_round4_boundary_transform_is_exact():
+    """round(d, 4) <= T  ⟺  d < float64(T + 0.00005), for Spark's
+    HALF_UP round over Double.toString's shortest repr. Pin it against
+    the Decimal model on every fraction best/n a mode computation can
+    produce near the boundaries, plus dense random doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round4_le(d: float, t: str) -> bool:
+        r = Decimal(repr(d)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        return r <= Decimal(t)
+
+    for t, lt in ((("0.30"), tk._TOP_WORD_LT), (("0.18"), tk._TOP_BIGRAM_LT)):
+        target = float(t)
+        for n in range(1, 4001):
+            # fractions straddling the boundary for this denominator
+            c = int(target * n)
+            for best in (c - 1, c, c + 1, c + 2):
+                if 0 <= best <= n:
+                    d = best / n
+                    assert (d < lt) == spark_round4_le(d, t), (best, n, t)
+        rng = random.Random(13)
+        for _ in range(20000):
+            d = target + (rng.random() - 0.5) * 1e-3
+            assert (d < lt) == spark_round4_le(d, t), (d, t)
+
+
+BOUNDARY_DOCS = [
+    # exactly 10 words, mean len 3.0, 1 stopword (ratio 0.10) → keep
+    "the aaa bbb ccc ddd eee fff ggg hhh iii",
+    # 9 words → length gate fails
+    "the aaa bbb ccc ddd eee fff ggg hhh",
+    # mean word len below 3.0 → drop
+    "the aa bb cc dd ee ff gg hh ii",
+    # mean word len exactly 10.0 (all len-10 incl stopword pad) → keep
+    "aaaaaaaaaa bbbbbbbbbb cccccccccc dddddddddd eeeeeeeeee ffffffffff "
+    "gggggggggg hhhhhhhhhh iiiiiiiiii the the ov",
+    # stopword ratio exactly 0.06: 3 stop / 50 words
+    " ".join(["the", "a", "of"] + [f"word{i:02d}" for i in range(47)]),
+    # stopword ratio just under: 2 stop / 50
+    " ".join(["the", "a"] + [f"word{i:02d}" for i in range(48)]),
+    # top word frac exactly 0.30 (3/10) → round4 = 0.3 → keep
+    "foo foo foo bar baz the quux corge grault arrr",
+    # top word frac 0.4 → drop
+    "foo foo foo foo baz the quux corge grault arrr",
+    # repeated bigram: "x y" appears heavily → bigram gate drops
+    "the aaa " + "x y " * 20 + "bbb ccc ddd",
+]
+
+
+def test_gopher_gate_kernel_equals_expression_boundary_and_random(spark):
+    df = _df(spark, ADVERSARIAL + BOUNDARY_DOCS + _rand_texts(300, seed=21))
+    a = textstats.gopher_gate(df, "doc_id", "text", impl="arrow")
+    e = textstats.gopher_gate(df, "doc_id", "text", impl="expr")
+    assert _rows(a) == _rows(e)
+    # the boundary fixtures exercise BOTH decisions (a gate that says
+    # one thing for every row would vacuously "match")
+    keeps = {r["doc_id"]: r["keep"] for r in e.collect()}
+    assert any(keeps.values()) and not all(keeps.values())
+
+
+def test_gopher_gate_kernel_equals_expression_fixture(spark, sf01_dir):
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    a = textstats.gopher_gate(docs, "doc_id", "text", impl="arrow")
+    e = textstats.gopher_gate(docs, "doc_id", "text", impl="expr")
+    assert _rows(a) == _rows(e)
+
+
+def test_gopher_filter_arrow_matches_expression_filter(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    a = tk.gopher_filter_arrow(docs, "text")
+    e = docs.filter(textstats.gopher_keep_expr("text"))
+    assert a.schema == docs.schema  # composition face passes schema through
+    assert _rows(a.select("doc_id")) == _rows(e.select("doc_id"))
+
+
+def test_minhash_near_dups_end_to_end_unchanged_by_kernel(spark, sf001_dir):
+    """The consumer contract: the full banded near-dup pipeline returns
+    the same verified pair set whichever banding impl feeds it."""
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    got = dd.minhash_near_dups(docs, "doc_id", "text", threshold=0.5)
+    b_expr = dd.lsh_bands(docs, "doc_id", "text", impl="expr")
+    l, r = b_expr.alias("l"), b_expr.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    texts = docs.select("doc_id", "text")
+    want = (
+        cand.join(
+            texts.withColumnsRenamed({"doc_id": "id_a", "text": "text_a"}), "id_a"
+        )
+        .join(
+            texts.withColumnsRenamed({"doc_id": "id_b", "text": "text_b"}), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(dd.ngram_jaccard(F.col("text_a"), F.col("text_b")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+    assert _rows(got) == _rows(want)
