@@ -2866,68 +2866,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and locally re-gated every round), and (d) the 11 stable anchors.
 # 2 + 14 + 23 + 11 = 50 exactly; every r6-changed entry is in.
 _DRIVER_WINDOW = [
-    # -- (a) round-6 additions --
-    "nightly_increment",
-    "mixture_plan_weighted",
-    # -- (b) code changed in r6 after last green --
-    "kmv_grouped_domains",
-    # the bpe entries' executed paths are provably unchanged (the merge
-    # checkpoint branch is unreachable at k=5 < 16; the encode chain is
-    # untouched) — their ✓5 evidence stands, and the slots go to the
-    # excision rewrite and to weighted_sample_docs, whose quality_score
-    # rank now counts punctuation via translate() instead of the
-    # pathological negated-class regexp_count (value-identical, but a
-    # real expression change worth driver evidence). The remaining
-    # transitive user of the shared helpers, convert_pipeline_docs
-    # (lang_id), is covered by text_langid in-window plus the local
-    # hash gate.
-    "excise_passages_clean",
-    "weighted_sample_docs",
+    # -- (a) code changed in r7 after last green --
+    # The r7 single-hash xor-mix minhash redefinition (dedup.py module
+    # docstring) changes signature/band VALUES for every entry that
+    # bands: the whole minhash family plus its compositions must re-earn
+    # driver evidence against the updated oracles. dedup_ngram_jaccard
+    # is NOT in this set — it is the capped all-pairs exact-Jaccard
+    # check and never touches signatures (its shingles are unchanged).
     "dedup_minhash_sig",
-    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
     "dedup_containment_pairs",
     "dedup_clusters",
     "dedup_keep_canonical",
     "dedup_recall_eval",
     "incremental_dedup_pairs",
     "corpus_assembly",
-    "contamination_check",
-    "text_repetition",
+    "nightly_increment",
+    # gate evaluated by the Arrow kernel now (decisions pinned
+    # bit-identical locally; driver evidence on top); text_repetition's
+    # _bigram_array was refactored through _bigrams_from (same expression
+    # tree — included out of caution, the invariant is cheap to honor)
     "text_gopher_gate",
-    # -- (c) the ≤r2-evidence pool, exhausted this round --
-    "p2_composite_key",
-    "p5_normalize_pdf",
-    "p6_normalize_txt",
-    "p7_skip_blank",
-    "p8_lang_norm",
-    "p9_title",
-    "p10_format_dispatch",
-    "p11_json_props",
-    "p12_hash_priority",
-    "c2_chunk_explode",
-    "w1_history_top5",
-    "w2_retention_cap",
-    "a4_success_failed",
-    "text_tokens",
-    "text_langid",
-    "text_fingerprint",
-    "salted_user_value",
-    "value_outliers",
-    "robust_outliers",
-    "text_domains",
-    "length_histogram",
-    "corpus_split_counts",
-    "w4_sliding_windows",
-    # -- (d) anchors: stable regression canaries (dedup_minhash_pairs
-    # doubles as the shingles-fix check) --
+    "text_repetition",
+    # r6-advice fixes: lazy gap-slice guard; KMV winner persist hygiene
+    "excise_passages_clean",
+    "kmv_grouped_domains",
+    # -- (b) the r3-evidence pool, exhausted this round (after r7 no
+    # entry's last driver check predates r4) --
+    "c3_restitch_grouped",
+    "c4_span_restitch",
+    "hll_distinct_users",
+    "tfidf_top_terms",
+    "emb_quantize",
+    "ann_topk_quantized",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "multimodal_frames",
+    "j1_memo_join",
+    "c2_chunk_map_fallback",
+    "s6_txt_sink",
+    "grouping_sets_orders",
+    "semi_anti_customers",
+    "rank_windows_events",
+    "stream_rate_windows",
+    "stream_counters",
+    "stream_user_totals",
+    "stream_dedup_upsert",
+    "source_csv_agg",
+    "source_json_agg",
+    "storage_compaction",
+    "extract_pipeline_relabel",
+    "s8_run_metrics",
+    "s8_incremental",
+    "supplier_stats_by_nation",
+    "rollup_orders",
+    "distinct_users",
+    "convert_pipeline_docs",
+    "revenue_by_nation",
+    # -- (c) anchors: stable regression canaries. Three r6 anchors
+    # (a1_hit_rate, a5_percentiles, text_quality) rotate out this round —
+    # all three are ✓6-fresh with untouched code, and their slots fund
+    # exhausting the r3 pool; dedup_minhash_pairs doubles as a changed-
+    # set member above. --
     "p1_sha256",
     "c1_chunk_roundtrip",
     "j5_dedup_groups",
-    "a1_hit_rate",
     "w4_rate_windows",
-    "a5_percentiles",
-    "text_quality",
-    "dedup_minhash_pairs",
     "tpch_q1",
     "extract_pipeline_synth",
     "s8_checkpoint_resume",

@@ -200,6 +200,61 @@ def run_chain(
         "canonical_keep", lambda: clean.join(drop, "id", "left_anti"), balance=True
     )
 
+    # 6c. semantic near-dup audit over the survivors: deterministic
+    #     hashed-BoW embeddings (centered, L2-normalized — the Arrow
+    #     featurizer), then sign-LSH bucket join + exact cosine verify.
+    #     The plane count scales with the corpus (buckets ≳ n/100) so
+    #     same-bucket candidate pairs stay O(n) — the lever that keeps
+    #     the 400k→1M normalized ratio ≤ 1; never a cross join
+    #     (no_cartesian recorded from the executed plan).
+    import math
+
+    from ktpm___ocr_spark.operators.similarity import (
+        center_vectors,
+        embedding_near_dups,
+    )
+    from ktpm___ocr_spark.operators.text_kernels import (
+        hashed_bow_embedding_arrow,
+    )
+
+    surv_sem = spark.read.parquet(p_surv)
+    p_emb = stage(
+        "embed",
+        lambda: hashed_bow_embedding_arrow(surv_sem, "id", "text", dim=32),
+    )
+    # corpus-mean removal is LOAD-BEARING: without it every doc leans
+    # along the corpus word-frequency profile (measured median
+    # random-pair cos 0.91, top LSH bucket = 16 % of the corpus → the
+    # bucket self-join goes quadratic); centered fluctuations are
+    # near-orthogonal and the buckets spread (see center_vectors)
+    emb_raw = spark.read.parquet(p_emb)
+    p_ctr = stage(
+        "embed_center",
+        lambda: center_vectors(emb_raw, "id", "vec", dim=32),
+    )
+    emb = spark.read.parquet(p_ctr).repartition(
+        spark.sparkContext.defaultParallelism * 8
+    )
+    # buckets ≈ n/25: candidate pairs stay ~n·12 (measured 4M @400k) so
+    # the exact-cosine verify — the stage's real cost at 47.6M pairs
+    # with buckets ≈ n/100 — stays O(n) with a small constant; recall at
+    # near-dup cosines (≥ 0.997) is (1-θ/π)^planes ≈ 0.8
+    n_planes = max(8, math.ceil(math.log2(max(n_docs, 1024) / 25)))
+
+    def mk_sem():
+        return embedding_near_dups(
+            emb, id_col="id", vec_col="vec", threshold=0.95,
+            n_planes=n_planes, dim=32,
+        )
+
+    p_sem = stage("semantic_dups", mk_sem)
+    stages[-1]["n_planes"] = n_planes
+    stages[-1]["no_cartesian_in_plan"] = (
+        "CartesianProduct"
+        not in mk_sem()._jdf.queryExecution().executedPlan().toString()
+    )
+    del p_sem
+
     # 7. static mixture plan over derived hosts (id-hash buckets — the
     #    synth corpus has no host column; 200 buckets = the mega-domain
     #    regime)
@@ -398,14 +453,72 @@ def nightly_probe(spark, n_docs: int, increments=(4_000, 40_000)) -> dict:
     }
 
 
+def excise_probe(spark, n_docs: int) -> dict:
+    """Exact-substring excision at the mega-doc skew fixture (Lee et al.
+    2022 removal step): duplicate-passage mining + interval-merge
+    excision + parquet write of the cleaned corpus, end-to-end. Run at
+    two corpus sizes for the normalized-ratio evidence (the r6
+    interval-merge fix is proven at 400k; this probe adds the second
+    point)."""
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.operators import dedup as dd
+    from ktpm___ocr_spark.operators.arrow_native import extract_arrow_native
+
+    corpus = f"/tmp/ktpm_bench_corpus_{n_docs}_p1024.parquet"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from ktpm___ocr_spark.sources.generator import materialize
+
+        materialize(spark, corpus, n_docs=n_docs, seed=42, partitions=1024)
+    texts_path = f"/tmp/ktpm_nightly_{n_docs}/texts"
+    if not os.path.exists(os.path.join(texts_path, "_SUCCESS")):
+        extract_arrow_native(spark.read.parquet(corpus)).select(
+            F.substring("doc_id", 4, 8).cast("long").alias("id"),
+            F.array_join(
+                F.expr(
+                    "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"
+                ),
+                "\n",
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(texts_path)
+    docs = spark.read.parquet(texts_path).repartition(1024, "id")
+    out_path = f"/tmp/ktpm_excise_{n_docs}"
+    t0 = time.monotonic()
+    dd.excise_repeated_passages(
+        docs, "id", "text", n=8, min_docs=2
+    ).write.mode("overwrite").parquet(out_path)
+    wall = round(time.monotonic() - t0, 2)
+    stats = (
+        spark.read.parquet(out_path)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_removed").alias("tokens_removed"),
+            F.max("n_removed").alias("max_removed_one_doc"),
+        )
+        .first()
+    )
+    return {
+        "probe": "excise",
+        "n_docs": n_docs,
+        "wall_sec": wall,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "rows": stats["rows"],
+        "tokens_removed": int(stats["tokens_removed"]),
+        "max_removed_one_doc": int(stats["max_removed_one_doc"]),
+    }
+
+
 def main() -> None:
     from ktpm___ocr_spark.session import get_spark
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_resume = "--resume-probe" in sys.argv[1:]
     do_nightly = "--nightly-probe" in sys.argv[1:]
+    do_excise = "--excise-probe" in sys.argv[1:]
     sizes = [int(a) for a in args] or (
-        [400_000] if (do_resume or do_nightly) else [400_000, 1_000_000]
+        [400_000]
+        if (do_resume or do_nightly or do_excise)
+        else [400_000, 1_000_000]
     )
     spark = get_spark(
         app_name="bench-composed",
@@ -418,6 +531,17 @@ def main() -> None:
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "composed_resume.json"), "w") as f:
             json.dump(res, f, indent=2)
+        spark.stop()
+        return
+    if do_excise:
+        out = []
+        for n in sizes:
+            res = excise_probe(spark, n)
+            print(json.dumps(res))
+            out.append(res)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "excise_probe.json"), "w") as f:
+            json.dump(out, f, indent=2)
         spark.stop()
         return
     if do_nightly:

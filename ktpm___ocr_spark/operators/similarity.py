@@ -306,3 +306,54 @@ def quantized_topk(
         )
 
     return brute_force_topk(dq(corpus), dq(queries), id_col, vec_col, k)
+
+
+def center_vectors(
+    df: DataFrame, id_col: str, vec_col: str = "vec", *, dim: int
+) -> DataFrame:
+    """Remove the corpus-mean direction from embedding vectors and
+    re-normalize — the decorrelation step before cosine LSH over
+    bag-of-words-style features.
+
+    Why it exists: every document drawn from one corpus shares the
+    corpus word-frequency profile, so raw (even per-doc-centered)
+    hashed-BoW vectors all lean along ONE direction — measured on the
+    400k synthetic corpus: median RANDOM-pair cosine 0.91, top LSH
+    bucket holding 16 % of the corpus, which turns the bucket self-join
+    quadratic. Subtracting the corpus mean leaves per-document
+    fluctuations, which are near-orthogonal across unrelated docs; the
+    same rank-1 whitening step LSI/PCA pipelines apply before angular
+    similarity (Deerwester 1990's first component removal).
+
+    Shape at scale: ONE aggregate scan (32 avgs → a single driver row —
+    bounded control flow, same class as the k-means centroid collect),
+    then a map-side subtract/renormalize with the mean inlined as a
+    literal array. Zero vectors stay zero.
+    """
+    from ktpm___ocr_spark.functions.exprutil import let
+
+    mean_row = df.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    mean = F.array(
+        *[F.lit(float(mean_row[f"m{i}"] or 0.0)) for i in range(dim)]
+    )
+    centered = F.zip_with(F.col(vec_col), mean, lambda x, m: x - m)
+    is_zero = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
+    ) == F.lit(0.0)
+    out = F.when(is_zero, F.col(vec_col)).otherwise(
+        let(
+            centered,
+            lambda c: let(
+                F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)),
+                lambda nrm: F.when(nrm == 0, c).otherwise(
+                    F.transform(c, lambda x: x / nrm)
+                ),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), out.alias(vec_col))

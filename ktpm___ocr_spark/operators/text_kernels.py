@@ -48,7 +48,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["lsh_bands_arrow", "gopher_filter_arrow", "gopher_gate_arrow"]
+__all__ = [
+    "lsh_bands_arrow",
+    "gopher_filter_arrow",
+    "gopher_gate_arrow",
+    "hashed_bow_embedding_arrow",
+]
 
 # Java regex \s (Pattern.split in Spark's `split`) is the ASCII class
 # [ \t\n\x0B\f\r]; spelled explicitly so the Python tokenizer matches it
@@ -302,6 +307,94 @@ def gopher_gate_arrow(
             keep = _gopher_keep_mask(batch.column(1))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), pa.array(keep)], names=[id_col, "keep"]
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def hashed_bow_embedding_arrow(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 32
+) -> DataFrame:
+    """(id, vec) — deterministic document embedding: crc32-hashed
+    bag-of-words bucket counts, CENTERED per document, L2-normalized.
+
+    The cheap-but-real featurizer for semantic-dedup at corpus scale
+    (feature hashing: Weinberger et al. 2009): documents sharing most
+    tokens land within degrees of each other, while per-doc centering
+    removes the all-counts-positive diagonal. CAVEAT the pipeline must
+    handle: documents of one corpus also share the corpus
+    word-frequency profile — a second common direction per-doc centering
+    cannot see (measured on the 400k synth corpus: median RANDOM-pair
+    cosine 0.91, one LSH bucket holding 16 % of the corpus). Any
+    consumer doing angular LSH over these vectors MUST apply
+    ``similarity.center_vectors`` (corpus-mean removal) first; after it,
+    unrelated documents are near-orthogonal and a 0.95 threshold is a
+    real semantic-dup signal with no birthday-paradox artifacts at
+    10^6 docs.
+
+    Columnar per batch: one RE2 split, dictionary-encode, crc32 over the
+    VOCABULARY only (unique words), numpy scatter-add into the
+    (rows × dim) count matrix. Zero-word docs keep the zero vector.
+    """
+    import pyarrow as pa  # noqa: F401 (schema types)
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("vec", ArrayType(DoubleType())),
+        ]
+    )
+    src = df.select(id_col, text_col)
+
+    def compute(batches: Iterator) -> Iterator:
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            texts = batch.column(1)
+            low = pc.utf8_lower(pc.fill_null(texts, ""))
+            wl = pc.split_pattern_regex(low, pattern=_WS_CLASS + "+")
+            if isinstance(wl, pa.ChunkedArray):
+                wl = wl.combine_chunks()
+            offsets = np.asarray(wl.offsets, dtype=np.int64)
+            offsets = offsets - offsets[0]
+            flat = wl.flatten()
+            wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+            doc_idx = np.repeat(
+                np.arange(n_rows, dtype=np.int64), np.diff(offsets)
+            )
+            keep = wlen > 0
+            doc_idx = doc_idx[keep]
+            dic = flat.filter(pa.array(keep)).dictionary_encode()
+            codes = np.asarray(dic.indices, dtype=np.int64)
+            vocab = dic.dictionary.to_pylist()
+            vb = np.fromiter(
+                (zlib.crc32(w.encode("utf-8")) % dim for w in vocab),
+                dtype=np.int64,
+                count=len(vocab),
+            )
+            m = np.zeros((n_rows, dim), dtype=np.float64)
+            if len(codes):
+                np.add.at(m, (doc_idx, vb[codes]), 1.0)
+            nonzero = m.any(axis=1)
+            m[nonzero] -= m[nonzero].mean(axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            np.divide(m, nrm, out=m, where=nrm > 0)
+            offs = pa.array(
+                np.arange(n_rows + 1, dtype=np.int64) * dim, type=pa.int32()
+            )
+            vec = pa.ListArray.from_arrays(
+                offs, pa.array(m.ravel(), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), vec], names=[id_col, "vec"]
             )
 
     return src.mapInArrow(compute, out_schema)

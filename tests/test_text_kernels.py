@@ -209,3 +209,132 @@ def test_minhash_near_dups_end_to_end_unchanged_by_kernel(spark, sf001_dir):
         .select("id_a", "id_b", "jaccard")
     )
     assert _rows(got) == _rows(want)
+
+
+def test_hashed_bow_embedding_properties(spark):
+    """Featurizer contract: unit-norm, deterministic, near-dup texts at
+    high cosine, unrelated texts near-orthogonal (centering removes the
+    all-positive-counts diagonal that would fake similarity)."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    base = [f"tok{rng.randrange(500)}" for _ in range(60)]
+    variant = list(base)
+    variant[7] = "changed"
+    other = [f"zzz{rng.randrange(500)}" for _ in range(60)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(variant)),
+            (3, " ".join(other)),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    vecs = {
+        r["id"]: r["vec"]
+        for r in tk.hashed_bow_embedding_arrow(df, "id", "text").collect()
+    }
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert all(len(v) == 32 for v in vecs.values())
+    for i in (1, 2, 3):
+        assert abs(math.sqrt(cos(vecs[i], vecs[i])) - 1.0) < 1e-9
+    assert cos(vecs[1], vecs[2]) > 0.95
+    assert abs(cos(vecs[1], vecs[3])) < 0.6
+    assert vecs[4] == [0.0] * 32  # zero-word doc keeps the zero vector
+    again = {
+        r["id"]: r["vec"]
+        for r in tk.hashed_bow_embedding_arrow(df, "id", "text").collect()
+    }
+    assert again == vecs
+
+
+def test_semantic_stage_composition_finds_planted_neardups(spark):
+    """The composed-bench semantic stage end-to-end at unit scale:
+    hashed-BoW embed → sign-LSH bucket join → cosine ≥ 0.95."""
+    import random
+
+    from ktpm___ocr_spark.operators.similarity import embedding_near_dups
+
+    rng = random.Random(9)
+    rows = []
+    for d in range(30):
+        ws = [f"w{d}q{rng.randrange(3000)}" for _ in range(80)]
+        rows.append((2 * d, " ".join(ws)))
+        var = list(ws)
+        var[rng.randrange(80)] = "edited"
+        rows.append((2 * d + 1, " ".join(var)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    emb = tk.hashed_bow_embedding_arrow(df, "id", "text")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, id_col="id", vec_col="vec", threshold=0.95, n_planes=8, dim=32
+        ).collect()
+    }
+    planted = {(2 * d, 2 * d + 1) for d in range(30)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.6, recall  # 8-plane single-band recall at cos≈0.99
+    assert len(pairs - planted) <= 2  # essentially no artifact pairs
+
+
+def test_center_vectors_decorrelates_zipf_corpus(spark):
+    """Regression pin of the corpus-profile pathology: docs drawing most
+    tokens from a SHARED Zipf-ish pool correlate strongly in raw
+    hashed-BoW space (that is what collapsed the LSH buckets on the
+    400k fixture — median random-pair cos 0.91); after corpus-mean
+    removal unrelated pairs decorrelate while planted near-dups stay at
+    cos ≈ 1, and the semantic join finds exactly the planted pairs."""
+    import random
+
+    from ktpm___ocr_spark.operators.similarity import (
+        center_vectors,
+        embedding_near_dups,
+    )
+
+    rng = random.Random(17)
+    common = [f"c{j}" for j in range(25)]  # shared Zipf head
+    rows = []
+    for d in range(40):
+        ws = [rng.choice(common) for _ in range(70)] + [
+            f"rare{d}_{rng.randrange(1000)}" for _ in range(10)
+        ]
+        rng.shuffle(ws)
+        rows.append((2 * d, " ".join(ws)))
+        var = list(ws)
+        var[rng.randrange(80)] = "edited"
+        rows.append((2 * d + 1, " ".join(var)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    emb = tk.hashed_bow_embedding_arrow(df, "id", "text")
+    vecs = {r["id"]: r["vec"] for r in emb.collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # the pathology is REAL on this fixture: raw unrelated pairs correlate
+    raw_unrelated = [cos(vecs[0], vecs[2 * d]) for d in range(5, 15)]
+    assert sum(raw_unrelated) / 10 > 0.5, raw_unrelated
+
+    cvecs = {
+        r["id"]: r["vec"]
+        for r in center_vectors(emb, "id", "vec", dim=32).collect()
+    }
+    c_unrelated = [cos(cvecs[0], cvecs[2 * d]) for d in range(5, 15)]
+    assert max(abs(c) for c in c_unrelated) < 0.7, c_unrelated
+    assert sum(abs(c) for c in c_unrelated) / 10 < 0.35
+    assert cos(cvecs[0], cvecs[1]) > 0.9  # planted near-dup survives
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            center_vectors(emb, "id", "vec", dim=32),
+            id_col="id", vec_col="vec", threshold=0.9, n_planes=6, dim=32,
+        ).collect()
+    }
+    planted = {(2 * d, 2 * d + 1) for d in range(40)}
+    assert len(pairs & planted) / len(planted) >= 0.6
+    assert len(pairs - planted) <= 4
