@@ -53,6 +53,7 @@ __all__ = [
     "gopher_filter_arrow",
     "gopher_gate_arrow",
     "hashed_bow_embedding_arrow",
+    "shingle_metrics_arrow",
 ]
 
 # Java regex \s (Pattern.split in Spark's `split`) is the ASCII class
@@ -398,3 +399,87 @@ def hashed_bow_embedding_arrow(
             )
 
     return src.mapInArrow(compute, out_schema)
+
+
+def shingle_metrics_arrow(
+    df: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    n: int = _SHINGLE_N,
+    metrics: tuple = ("jaccard",),
+) -> DataFrame:
+    """Candidate-pair verification kernel: exact shingle-set metrics per
+    row, bit-identical to the expression forms (``ngram_jaccard`` /
+    ``ngram_containment`` + ``round(_, 4)``).
+
+    Every non-text column passes through unchanged; ``text_a``/``text_b``
+    are replaced by the requested metric columns (``jaccard``,
+    ``cont_a_in_b``, ``cont_b_in_a``). Python set intersection over the
+    distinct shingle sets is ~50-200 µs/pair where the Catalyst
+    let-bound array_intersect/array_union formulation measures ~1.8 ms —
+    the r7 nightly probe put 322k pair-verifies at 579 s, verify-bound,
+    with the banding already kernelized. Rounding: HALF_UP at 4 decimals
+    over ``repr(d)`` — the same shortest-decimal-repr semantics as
+    Spark's BigDecimal.valueOf round (pinned value-exact by
+    tests/test_text_kernels.py over fixtures and random pairs).
+
+    Scale shape: pure projection over the already-joined candidate
+    relation — the join that built it stays the one shuffle.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for m in metrics:
+        if m not in ("jaccard", "cont_a_in_b", "cont_b_in_a"):
+            raise ValueError(f"unknown shingle metric {m!r}")
+    passthrough = [c for c in df.columns if c not in (text_a, text_b)]
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [StructField(c, df.schema[c].dataType) for c in passthrough]
+        + [StructField(m, DoubleType()) for m in metrics]
+    )
+    src = df.select(*passthrough, text_a, text_b)
+    n_pass = len(passthrough)
+    q4 = Decimal("0.0001")
+
+    def round4(d: float) -> float:
+        return float(Decimal(repr(d)).quantize(q4, rounding=ROUND_HALF_UP))
+
+    def compute(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ta = batch.column(n_pass).to_pylist()
+            tb = batch.column(n_pass + 1).to_pylist()
+            cols: dict[str, list[float]] = {m: [] for m in metrics}
+            for a, b in zip(ta, tb):
+                sa = _shingle_set(a, n)
+                sb = _shingle_set(b, n)
+                inter = len(sa & sb)
+                for m in metrics:
+                    if m == "jaccard":
+                        u = len(sa | sb)
+                        d = inter / u if u else 0.0
+                    elif m == "cont_a_in_b":
+                        d = inter / len(sa) if sa else 0.0
+                    else:
+                        d = inter / len(sb) if sb else 0.0
+                    cols[m].append(round4(d))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(n_pass)]
+                + [pa.array(cols[m], type=pa.float64()) for m in metrics],
+                names=passthrough + list(metrics),
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def _shingle_set(text: str | None, n: int = _SHINGLE_N) -> set:
+    """shingles() semantics as a Python set (distinct word n-grams;
+    short texts → one whole-text shingle, '' for empty)."""
+    ws = _words(text)
+    if len(ws) >= n:
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    return {" ".join(ws)}

@@ -338,3 +338,47 @@ def test_center_vectors_decorrelates_zipf_corpus(spark):
     planted = {(2 * d, 2 * d + 1) for d in range(40)}
     assert len(pairs & planted) / len(planted) >= 0.6
     assert len(pairs - planted) <= 4
+
+
+def test_shingle_metrics_kernel_equals_expression_values(spark):
+    """Verify-kernel value pin: round(jaccard,4) / round(containment,4)
+    doubles are IDENTICAL to the Catalyst expression forms on random and
+    adversarial pairs (including a long near-clone — the mega-doc shape
+    that makes the expression path slow)."""
+    rng = random.Random(31)
+    texts = ADVERSARIAL + _rand_texts(60, seed=33)
+    big = " ".join(f"m{rng.randrange(400)}" for _ in range(4000))
+    pairs = [(big, big + " rev2 nightly")]
+    for i in range(0, len(texts) - 1, 2):
+        pairs.append((texts[i], texts[i + 1]))
+    for _ in range(40):
+        a = texts[rng.randrange(len(texts))]
+        pairs.append((a, a))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "pid long, text_a string, text_b string",
+    ).repartition(4)
+    got = tk.shingle_metrics_arrow(
+        df, "text_a", "text_b",
+        metrics=("jaccard", "cont_a_in_b", "cont_b_in_a"),
+    )
+    want = df.select(
+        "pid",
+        F.round(dd.ngram_jaccard(F.col("text_a"), F.col("text_b")), 4).alias(
+            "jaccard"
+        ),
+        F.round(
+            dd.ngram_containment(F.col("text_a"), F.col("text_b")), 4
+        ).alias("cont_a_in_b"),
+        F.round(
+            dd.ngram_containment(F.col("text_b"), F.col("text_a")), 4
+        ).alias("cont_b_in_a"),
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_containment_pairs_kernel_equals_expression(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    a = dd.containment_pairs(docs, "doc_id", "text", impl="arrow")
+    e = dd.containment_pairs(docs, "doc_id", "text", impl="expr")
+    assert _rows(a) == _rows(e)
