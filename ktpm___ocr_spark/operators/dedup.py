@@ -535,6 +535,22 @@ def excise_repeated_passages(
     passage after the join; per-doc coverage is a collect_set of start
     offsets (bounded by doc length) expanded in-row by an array HOF —
     the re-stitch groups by doc, mega-docs bound the reducer."""
+    def win_key(passage):
+        """128-bit INTERNAL window key (two independent xxhash64 lanes).
+        Join/group key only — never surfaced to results or oracles, so
+        an engine-native hash is fine here; the r7 1M-doc probe showed
+        the passage STRINGS were the disk bound (three shuffles of a
+        ~540M-row window stream at ~50 B of text per row overflowed a
+        75 GB spill volume twice) — 16 bytes of key in their place cuts
+        every shuffle ~3×. 128 bits ⇒ expected corpus-wide collisions
+        ~(5·10⁸)²/2¹²⁹ ≈ 10⁻²¹; a collision's worst case is one
+        spuriously-excised window."""
+        return F.struct(
+            F.xxhash64(passage).alias("h1"),
+            F.xxhash64(F.lit("excise-lane-2"), passage).alias("h2"),
+        )
+
+    _win_t = "array<struct<start:bigint,pk:struct<h1:bigint,h2:bigint>>>"
     ws = df.select(
         F.col(id_col), words_array(F.col(text_col)).alias("ws")
     )
@@ -547,25 +563,39 @@ def excise_repeated_passages(
                     F.sequence(F.lit(1), F.size("ws") - (n - 1)),
                     lambda i: F.struct(
                         i.cast("long").alias("start"),
-                        F.concat_ws(
-                            " ",
-                            *[
-                                F.element_at("ws", (i + j).cast("int"))
-                                for j in range(n)
-                            ],
-                        ).alias("passage"),
+                        win_key(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at("ws", (i + j).cast("int"))
+                                    for j in range(n)
+                                ],
+                            )
+                        ).alias("pk"),
                     ),
                 ),
-            ).otherwise(
-                F.array().cast("array<struct<start:bigint,passage:string>>")
-            )
+            ).otherwise(F.array().cast(_win_t))
         ).alias("w"),
-    ).select(id_col, "w.start", "w.passage")
-    rep = duplicate_passages(df, id_col, text_col, n, min_docs).select(
-        "passage"
+    ).select(id_col, "w.start", "w.pk")
+    # repeated-window set on the key — duplicate_passages' exact counting
+    # shape ((window, doc) partial-agg then per-window distinct-doc
+    # count), re-derived from `wins` so only 16-byte keys ever shuffle;
+    # the string-faced detection operator (duplicate_passages) remains
+    # the reporting face
+    rep = (
+        wins.groupBy("pk", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("pk")
     )
+    # shuffled-hash, not sort-merge: SMJ would external-sort the full
+    # window stream (the 1M probe spilled ~50 GB through that sort);
+    # hashing builds from the repeated-key side (~10 % of keys) and the
+    # big side streams through unsorted
     starts = (
-        wins.join(rep, "passage")
+        wins.join(rep.hint("shuffle_hash"), "pk")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("start")).alias("starts"))
     )
