@@ -1599,6 +1599,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup_upsert"] = stream_dedup_upsert_q
 
+    def stream_politeness_q(spark, sf):
+        """Politeness-scheduled streaming sink: the events stream is a
+        crawl frontier (host = event_type); foreachBatch assigns
+        cross-batch per-host fetch indices from a replay-safe per-batch
+        offset store and writes a rate-limited, sticky-worker fetch
+        schedule (streaming/jobs.politeness_fetch_stream — the streaming
+        face of textstats.politeness_schedule). Lazy read over the
+        deferred-cleanup schedule store — no driver collect."""
+        from ktpm___ocr_spark.streaming import jobs as sj
+
+        _utc(spark)
+        base = _scratch_dir("polite_")
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(os.path.join(sf, "events.parquet")),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        sched = os.path.join(base, "sched")
+        offs = os.path.join(base, "offsets")
+        src = spark.readStream.schema(sj.EVENTS_SCHEMA).parquet(src_dir)
+        query = sj.politeness_fetch_stream(src, sched, offs).start()
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("politeness stream did not drain in 300s")
+        return spark.read.parquet(sched + "/*").select(
+            "host", "event_id", "fetch_idx", "scheduled_at_s", "worker"
+        )
+
+    q["stream_politeness"] = stream_politeness_q
+
     def _staged_source_agg(spark, sf, fmt):
         """Write the flat events projection to a csv/json staging dir,
         read it back through the schema-enforced FAILFAST reader, and
@@ -2852,20 +2883,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-6 window, rotated by STALENESS OF EVIDENCE: (a) the two round-6
-# additions (landing-round additions always get a driver row), (b) every
-# entry whose code changed in round 6 after its last green — the
-# shingles let-binding fix (entire minhash/jaccard/containment family +
-# their compositions), the in-row repetition/gate rewrite
-# (text_repetition, text_gopher_gate, corpus_assembly), the grouped-KMV
-# auto-selector, and the BPE checkpointing (bpe module) — all
-# value-identical rewrites, so the driver rows double as the
-# no-regression proof, (c) the complete ≤r2-evidence pool (r5 verdict
-# task 3: after r6 no entry's last driver check may be older than r3 —
-# these 23 are every remaining entry last checked in r1/r2, all ✓-green
-# and locally re-gated every round), and (d) the 11 stable anchors.
-# 2 + 14 + 23 + 11 = 50 exactly; every r6-changed entry is in.
+# Round-7 window, rotated by STALENESS OF EVIDENCE: (0) the round-7
+# addition (landing-round additions always get a driver row), (a) every
+# entry whose code or oracle changed in round 7 after its last green —
+# the single-hash xor-mix minhash family redefinition (values changed BY
+# DESIGN, oracles in lockstep: the whole banding family + its
+# compositions), the Arrow gate kernel (decisions pinned bit-identical
+# locally), the excise win_key/shuffled-hash rewrite, and the two
+# r6-advice code fixes, (b) the complete r3-evidence pool (r6 verdict
+# task 3: after r7 no entry's last driver check may be older than r4 —
+# these 30 are every remaining entry last checked in r3, all ✓-green and
+# locally re-gated every round), and (c) the 6 stable anchors.
+# 1 + 13 + 30 + 6 = 50 exactly; every r7-changed entry is in.
 _DRIVER_WINDOW = [
+    # -- (0) round-7 addition (landing-round additions always get a
+    # driver row): the politeness-scheduled streaming sink --
+    "stream_politeness",
     # -- (a) code changed in r7 after last green --
     # The r7 single-hash xor-mix minhash redefinition (dedup.py module
     # docstring) changes signature/band VALUES for every entry that
@@ -2923,12 +2956,12 @@ _DRIVER_WINDOW = [
     "distinct_users",
     "convert_pipeline_docs",
     "revenue_by_nation",
-    # -- (c) anchors: stable regression canaries. Three r6 anchors
-    # (a1_hit_rate, a5_percentiles, text_quality) rotate out this round —
-    # all three are ✓6-fresh with untouched code, and their slots fund
-    # exhausting the r3 pool; dedup_minhash_pairs doubles as a changed-
-    # set member above. --
-    "p1_sha256",
+    # -- (c) anchors: stable regression canaries. Four r6 anchors
+    # (a1_hit_rate, a5_percentiles, text_quality, p1_sha256) rotate out
+    # this round — all four are ✓6-fresh with untouched code, and their
+    # slots fund exhausting the r3 pool plus the stream_politeness
+    # landing row; dedup_minhash_pairs doubles as a changed-set member
+    # above. --
     "c1_chunk_roundtrip",
     "j5_dedup_groups",
     "w4_rate_windows",
@@ -3092,6 +3125,20 @@ def oracle_sql() -> dict[str, str]:
     )
     o["stream_dedup_upsert"] = (
         "SELECT event_id, user_id, event_type FROM events"
+    )
+    # politeness streaming sink: drained schedule of the finite in-order
+    # frontier ≡ the batch window row_number() - 1 per host (within-batch
+    # order pinned by (ts, event_id), cross-batch by the offset store);
+    # worker = the portable 60-bit sha256 bucket, same as the batch
+    # politeness_schedule oracle
+    o["stream_politeness"] = (
+        "SELECT event_type AS host, event_id, "
+        "CAST(row_number() OVER (PARTITION BY event_type "
+        "ORDER BY ts, event_id) - 1 AS BIGINT) AS fetch_idx, "
+        "CAST((row_number() OVER (PARTITION BY event_type "
+        "ORDER BY ts, event_id) - 1) * 5 AS BIGINT) AS scheduled_at_s, "
+        "CAST(CAST(('0x' || substr(sha256(event_type), 1, 15)) AS BIGINT) "
+        "% 16 AS BIGINT) AS worker FROM events"
     )
     _src_agg_sql = (
         "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS "

@@ -329,6 +329,8 @@ def operator_bench(spark) -> dict[str, float]:
         # round-6 additions
         "nightly_increment",
         "mixture_plan_weighted",
+        # round-7 addition
+        "stream_politeness",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -139,6 +139,25 @@ def stream_sessions(
     )
 
 
+def _store_parts(spark, root: str, exclude: str) -> list[str]:
+    """Subdirectories of a per-batch store, minus this batch's own —
+    listed via the Hadoop FS API so any scheme (file://, hdfs://,
+    s3a://) works. The subdir-per-batch layout is what makes
+    at-least-once replay exactly-once: a replayed batch re-reads exactly
+    the pre-batch store state and OVERWRITES (never re-appends) its own
+    outputs."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []  # first batch of an unseeded store
+    return [
+        str(st.getPath().toString())
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName() != exclude
+    ]
+
+
 def dedup_upsert_stream(src: DataFrame, store_dir: str, key: str = "event_id"):
     """Exactly-once-per-key streaming sink via ``foreachBatch``: each
     micro-batch dedups within itself, anti-joins keys already in the
@@ -207,18 +226,6 @@ def incremental_dedup_stream(
         lsh_bands,
     )
 
-    def _store_parts(spark, root: str, exclude: str) -> list[str]:
-        """Subdirectories of a store, minus this batch's own — listed via
-        the Hadoop FS API so any scheme (file://, hdfs://, s3a://) works."""
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(root)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return [
-            str(st.getPath().toString())
-            for st in fs.listStatus(p)
-            if st.isDirectory() and st.getPath().getName() != exclude
-        ]
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sub = f"b{batch_id}"
@@ -272,3 +279,115 @@ def stream_dedup_within_watermark(
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
+
+
+def politeness_fetch_stream(
+    src: DataFrame,
+    schedule_dir: str,
+    offsets_dir: str,
+    host_col: str = "event_type",
+    id_col: str = "event_id",
+    order_col: str = "ts",
+    delay_s: int = 5,
+    workers: int = 16,
+):
+    """Streaming face of :func:`textstats.politeness_schedule`: a crawl
+    FRONTIER stream (each row = one fetch request against ``host_col``)
+    is turned into a rate-limited fetch schedule — host *h*'s *i*-th
+    request ever seen is scheduled at ``i · delay_s`` seconds and
+    sticky-routed to ``word_hash(h) % workers`` — via ``foreachBatch``
+    with a per-host offset store, so the politeness index keeps counting
+    ACROSS micro-batches without any engine state: batch N's base index
+    for a host is the sum of that host's request counts over batches
+    < N.
+
+    Store layout is the replay-safe subdir-per-batch pattern of
+    :func:`incremental_dedup_stream`: each batch OVERWRITES
+    ``{offsets_dir}/b{id}`` (its per-host counts) and
+    ``{schedule_dir}/b{id}`` (its schedule rows), and probes every
+    offsets subdir EXCEPT its own — an at-least-once replay re-reads
+    exactly the pre-batch state and converges instead of double-counting.
+    Within a batch, per-host order is pinned by ``(order_col, id_col)``
+    (deterministic, so the drained schedule of a finite in-order stream
+    equals the batch window ``row_number() - 1`` — the oracle). The
+    window sort is micro-batch-bounded, never corpus-bounded, and the
+    offsets relation is O(hosts·batches) — both safe at frontier scale;
+    the sticky worker mapping means a 1000-executor fetch fleet needs no
+    shared limiter (same property as the batch operator).
+
+    Read the schedule with ``spark.read.parquet(schedule_dir + "/*")``.
+    Returns the DataStreamWriter — caller ``.start()``s it.
+
+    Reference anchor: per-key rate limiting / queue pacing
+    (backend/middleware/rateLimiters, backend/queues) re-expressed as a
+    crawl-politeness scheduler (Najork 2001 web-crawler etiquette).
+    """
+    from pyspark.sql import Window
+
+    from ktpm___ocr_spark.functions.textstats import word_hash
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sub = f"b{batch_id}"
+        # the offset store is ORDER-dependent (batch N's base = counts of
+        # batches < N), unlike the set-semantics band/text stores of
+        # incremental_dedup_stream where excluding only the batch's own
+        # subdir suffices — a replayed batch must also ignore LATER
+        # batches' subdirs or it double-counts them into its base
+        parts = [
+            p
+            for p in _store_parts(spark, offsets_dir, sub)
+            if int(p.rstrip("/").rsplit("/b", 1)[-1]) < batch_id
+        ]
+        if parts:
+            base = (
+                spark.read.parquet(*parts)
+                .groupBy(host_col)
+                .agg(F.sum("n_requests").alias("_base"))
+            )
+        else:
+            base = spark.createDataFrame(
+                [], f"{host_col} string, _base long"
+            )
+        seq = (
+            F.row_number().over(
+                Window.partitionBy(host_col).orderBy(order_col, id_col)
+            )
+            - 1
+        ).cast("long")
+        sched = (
+            batch_df.select(host_col, id_col, order_col)
+            .withColumn("_seq", seq)
+            # hosts not yet in the store get base 0; the store side is
+            # O(hosts) — broadcast keeps the frontier side shuffle-free
+            # beyond the window's own host-keyed Exchange
+            .join(F.broadcast(base), host_col, "left")
+            .select(
+                F.col(host_col).alias("host"),
+                F.col(id_col),
+                (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_seq"))
+                .cast("long")
+                .alias("fetch_idx"),
+                (
+                    (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_seq"))
+                    * delay_s
+                )
+                .cast("long")
+                .alias("scheduled_at_s"),
+                F.pmod(
+                    word_hash(F.col(host_col).cast("string")),
+                    F.lit(workers),
+                )
+                .cast("long")
+                .alias("worker"),
+            )
+        )
+        sched.write.mode("overwrite").parquet(f"{schedule_dir}/{sub}")
+        (
+            batch_df.groupBy(host_col)
+            .agg(F.count(F.lit(1)).alias("n_requests"))
+            .write.mode("overwrite")
+            .parquet(f"{offsets_dir}/{sub}")
+        )
+
+    return src.writeStream.foreachBatch(process).trigger(availableNow=True)

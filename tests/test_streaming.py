@@ -458,3 +458,101 @@ def test_stream_dedup_watermark_suppress_then_evict(spark, tmp_path):
     assert per_run[0] == [(1, "view")]
     assert sorted(per_run[1]) == [(9, "view")]  # duplicate suppressed
     assert per_run[2] == [(1, "view")]  # state evicted -> re-emits
+
+
+def test_politeness_stream_cross_batch_offsets_and_replay(
+    spark, events_dir, tmp_path
+):
+    """Politeness streaming sink: per-host fetch indices keep counting
+    across micro-batches (batch B's base index per host = that host's
+    request count in batch A), the drained schedule of a ts-ordered
+    finite stream equals the batch row_number() model, and replaying the
+    whole stream over the same stores converges (overwrite-per-batch, no
+    double counting)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ktpm___ocr_spark.functions.textstats import word_hash
+    from ktpm___ocr_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        politeness_fetch_stream,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    # ts-ordered two-file split (strict boundary): every batch-A row
+    # precedes every batch-B row in event time, so cross-batch chaining
+    # must reproduce the global per-host order
+    m = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as long), 0.5) as m"
+    ).first()["m"]
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    d = tmp_path / "frontier"
+    ev.filter(ts_long < m).coalesce(1).write.parquet(str(d / "a.parquet"))
+    ev.filter(ts_long >= m).coalesce(1).write.parquet(str(d / "b.parquet"))
+
+    sched = str(tmp_path / "sched")
+    offs = str(tmp_path / "offsets")
+
+    def run():
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*/")
+        )
+        q = politeness_fetch_stream(src, sched, offs).start()
+        assert q.awaitTermination(180), "stream must drain both files"
+
+    run()
+    got = {
+        r["event_id"]: (
+            r["host"], r["fetch_idx"], r["scheduled_at_s"], r["worker"]
+        )
+        for r in spark.read.parquet(sched + "/*").collect()
+    }
+    idx = (
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("ts").cast("timestamp"), "event_id"
+            )
+        )
+        - 1
+    ).cast("long")
+    want = {
+        r["event_id"]: (
+            r["event_type"], r["i"], r["i"] * 5,
+            r["w"],
+        )
+        for r in ev.select(
+            "event_id", "event_type", idx.alias("i"),
+            F.pmod(word_hash(F.col("event_type")), F.lit(16))
+            .cast("long").alias("w"),
+        ).collect()
+    }
+    assert got == want
+    # the chain genuinely crossed batches: some host appears in both
+    # batch subdirs with nonzero base in the second
+    per_batch = {
+        sub: {
+            r["event_type"]: r["n_requests"]
+            for r in spark.read.parquet(f"{offs}/{sub}").collect()
+        }
+        for sub in ("b0", "b1")
+    }
+    assert set(per_batch["b0"]) & set(per_batch["b1"])
+
+    # at-least-once replay converges: same schedule, same offsets
+    run()
+    got2 = {
+        r["event_id"]: (
+            r["host"], r["fetch_idx"], r["scheduled_at_s"], r["worker"]
+        )
+        for r in spark.read.parquet(sched + "/*").collect()
+    }
+    assert got2 == got
+    assert {
+        sub: {
+            r["event_type"]: r["n_requests"]
+            for r in spark.read.parquet(f"{offs}/{sub}").collect()
+        }
+        for sub in ("b0", "b1")
+    } == per_batch
