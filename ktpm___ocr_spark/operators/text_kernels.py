@@ -483,3 +483,146 @@ def _shingle_set(text: str | None, n: int = _SHINGLE_N) -> set:
     if len(ws) >= n:
         return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
     return {" ".join(ws)}
+
+
+def cosine_pairs_arrow(
+    df: DataFrame,
+    vec_a: str = "_va",
+    vec_b: str = "_vb",
+    threshold: float = 0.95,
+    round_dp: int = 5,
+    out_col: str = "cos",
+) -> DataFrame:
+    """Candidate-pair cosine verification kernel: for each row, compute
+    ``round(cosine(vec_a, vec_b), round_dp)`` and KEEP the row iff it is
+    ``>= threshold`` — bit-identical to the expression form
+    ``F.round(similarity.cosine(a, b), dp) >= threshold`` (sequential-
+    fold dot/norms, zero denominator → 0.0, Spark HALF_UP round).
+
+    Bit-identity is engineered, not hoped for:
+
+    * the dot product and both norms are evaluated as ``dim`` vectorized
+      numpy steps ``acc = acc + A[:, i] * B[:, i]`` — the SAME
+      left-to-right float64 fold order as the Catalyst
+      ``aggregate(zip_with(a, b, *), 0.0, +)`` (numpy ``dot`` would use
+      pairwise/SIMD summation and drift ULPs on the fold);
+    * the threshold test uses the exact HALF_UP boundary transform
+      (see the module's round-boundary derivation):
+      ``roundN(d) >= T  ⟺  d >= float64(T - 10^-N/2)`` for a ≤N-digit
+      decimal T, so NO per-row Decimal in the hot path;
+    * only the (few) survivors get the exact ``Decimal(repr(d))``
+      HALF_UP value for the output column.
+
+    Non-vector columns pass through unchanged; the vector columns are
+    dropped. Scale shape: pure projection over the already-joined
+    candidate relation — the bucket join that built it stays the one
+    shuffle (same contract as ``shingle_metrics_arrow``).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import DoubleType
+
+    passthrough = [c for c in df.columns if c not in (vec_a, vec_b)]
+    out_schema = StructType(
+        [StructField(c, df.schema[c].dataType) for c in passthrough]
+        + [StructField(out_col, DoubleType())]
+    )
+    src = df.select(*passthrough, vec_a, vec_b)
+    n_pass = len(passthrough)
+    quantum = Decimal(1).scaleb(-round_dp)
+    # exact float64 image of the decimal boundary T - 10^-N/2 (repr(T)
+    # re-derives the shortest decimal the Spark-side literal carries)
+    boundary = float(Decimal(repr(float(threshold))) - quantum / 2)
+
+    def round_dp_exact(d: float) -> float:
+        return float(Decimal(repr(d)).quantize(quantum, rounding=ROUND_HALF_UP))
+
+    def _mat(col, n_rows):
+        """list<float64> column → (rows, dim) float64 matrix, or None if
+        ragged/null (fallback row loop replicates expression semantics)."""
+        import numpy as np
+        import pyarrow as pa
+
+        if col.null_count != 0:
+            return None
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        if len(lens) == 0 or lens.min() != lens.max() or lens[0] == 0:
+            return None
+        dim = int(lens[0])
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return np.asarray(vals, dtype=np.float64).reshape(n_rows, dim)
+
+    def _fold_dot(a, b):
+        """acc = ((0 + a0·b0) + a1·b1) + ... — the zip_with+aggregate fold."""
+        import numpy as np
+
+        acc = np.zeros(a.shape[0], dtype=np.float64)
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return acc
+
+    def _cos_row(a, b):
+        """Python-float replica of the expression cosine for one pair
+        (fallback path: ragged, empty, or null vectors)."""
+        import math
+
+        if a is None or b is None or len(a) != len(b):
+            return None  # zip_with null-pads → null cosine → filtered out
+        acc_a = 0.0
+        acc_b = 0.0
+        for x in a:
+            acc_a = acc_a + x * x
+        for y in b:
+            acc_b = acc_b + y * y
+        denom = math.sqrt(acc_a) * math.sqrt(acc_b)
+        if denom == 0:
+            return 0.0
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc / denom
+
+    def compute(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            ca, cb = batch.column(n_pass), batch.column(n_pass + 1)
+            a, b = _mat(ca, n_rows), _mat(cb, n_rows)
+            if a is not None and b is not None and a.shape == b.shape:
+                na = np.sqrt(_fold_dot(a, a))
+                nb = np.sqrt(_fold_dot(b, b))
+                denom = na * nb
+                cos = np.zeros(n_rows, dtype=np.float64)
+                np.divide(
+                    _fold_dot(a, b), denom, out=cos, where=denom != 0
+                )
+            else:
+                la, lb = ca.to_pylist(), cb.to_pylist()
+                cos = np.array(
+                    [
+                        c if (c := _cos_row(x, y)) is not None else -np.inf
+                        for x, y in zip(la, lb)
+                    ],
+                    dtype=np.float64,
+                )
+            keep = cos >= boundary
+            if not keep.any():
+                continue
+            idx = pa.array(np.flatnonzero(keep))
+            out = pa.array(
+                [round_dp_exact(float(c)) for c in cos[keep]],
+                type=pa.float64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i).take(idx) for i in range(n_pass)] + [out],
+                names=passthrough + [out_col],
+            )
+
+    return src.mapInArrow(compute, out_schema)

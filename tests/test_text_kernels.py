@@ -382,3 +382,165 @@ def test_containment_pairs_kernel_equals_expression(spark, sf001_dir):
     a = dd.containment_pairs(docs, "doc_id", "text", impl="arrow")
     e = dd.containment_pairs(docs, "doc_id", "text", impl="expr")
     assert _rows(a) == _rows(e)
+
+
+# ------------------------------------------- cosine pair-verify kernel
+
+
+def test_round5_ge_boundary_transform_is_exact():
+    """round(d, 5) >= T  ⟺  d >= float64(T - 0.000005) — the mirrored
+    form of the round4 <= transform, used by cosine_pairs_arrow's
+    threshold test. Pin against the Decimal HALF_UP model on dense
+    random doubles around both thresholds the engine uses."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round5_ge(d: float, t: str) -> bool:
+        r = Decimal(repr(d)).quantize(
+            Decimal("0.00001"), rounding=ROUND_HALF_UP
+        )
+        return r >= Decimal(t)
+
+    for t in ("0.95", "0.997", "0.5"):
+        boundary = float(Decimal(t) - Decimal("0.000005"))
+        rng = random.Random(29)
+        for _ in range(20000):
+            d = float(t) + (rng.random() - 0.5) * 1e-4
+            assert (d >= boundary) == spark_round5_ge(d, t), (d, t)
+        # exact boundary double and its neighbors
+        import math
+
+        for d in (
+            boundary,
+            math.nextafter(boundary, 0.0),
+            math.nextafter(boundary, 2.0),
+        ):
+            assert (d >= boundary) == spark_round5_ge(d, t), (d, t)
+
+
+def _vec_pairs_df(spark, seed=31, n=200, dim=16):
+    """Candidate-pair relation with planted exact dups, near-boundary
+    cosines, zero vectors, and random pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        a = rng.normal(size=dim)
+        a /= np.linalg.norm(a)
+        kind = i % 4
+        if kind == 0:  # exact duplicate
+            b = a.copy()
+        elif kind == 1:  # near-boundary cosine around 0.95
+            target = 0.95 + (rng.random() - 0.5) * 2e-4
+            o = rng.normal(size=dim)
+            o -= o.dot(a) * a
+            o /= np.linalg.norm(o)
+            b = target * a + np.sqrt(max(0.0, 1 - target * target)) * o
+        elif kind == 2:  # random
+            b = rng.normal(size=dim)
+            b /= np.linalg.norm(b)
+        else:  # zero vector → denom 0 → cos 0.0
+            b = np.zeros(dim)
+        rows.append((f"a{i:04d}", f"b{i:04d}", a.tolist(), b.tolist()))
+    return spark.createDataFrame(
+        rows,
+        "id_a string, id_b string, _va array<double>, _vb array<double>",
+    )
+
+
+def test_cosine_pairs_kernel_equals_expression(spark):
+    """cosine_pairs_arrow ≡ round(cosine(a,b),5) >= T — exact pair set
+    AND exact values, on dup/boundary/random/zero pairs."""
+    from ktpm___ocr_spark.operators.similarity import cosine
+
+    df = _vec_pairs_df(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tk.cosine_pairs_arrow(
+            df, "_va", "_vb", threshold=0.95, round_dp=5
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in df.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 5).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 50  # the planted dups at minimum
+
+
+def test_cosine_pairs_kernel_fallback_ragged_and_null(spark):
+    """Null or length-mismatched vectors are dropped by BOTH paths
+    (zip_with null-pads → null cosine → filtered), and the ragged batch
+    routes through the row fallback without diverging."""
+    from ktpm___ocr_spark.operators.similarity import cosine
+
+    rows = [
+        ("p1", [1.0, 0.0], [1.0, 0.0]),          # cos 1.0 → kept
+        ("p2", None, [1.0, 0.0]),                  # null → dropped
+        ("p3", [1.0, 0.0, 0.0], [1.0, 0.0]),      # ragged → dropped
+        ("p4", [0.0, 0.0], [1.0, 0.0]),           # zero norm → cos 0.0
+        ("p5", [3.0, 4.0], [3.0, 4.0]),           # cos 1.0 → kept
+    ]
+    df = spark.createDataFrame(
+        rows, "pair string, _va array<double>, _vb array<double>"
+    )
+    got = {
+        r["pair"]: r["cos"]
+        for r in tk.cosine_pairs_arrow(
+            df, "_va", "_vb", threshold=0.95, round_dp=5
+        ).collect()
+    }
+    want = {
+        r["pair"]: r["cos"]
+        for r in df.select(
+            "pair",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 5).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+        .collect()
+    }
+    assert got == want == {"p1": 1.0, "p5": 1.0}
+
+
+def test_embedding_near_dups_arrow_equals_expr(spark):
+    """The full operator (bucket join + verify) is value-identical under
+    impl='arrow' vs impl='expr' on the planted near-dup corpus."""
+    from ktpm___ocr_spark.operators.similarity import (
+        center_vectors,
+        embedding_near_dups,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(300):
+        words = [f"tok{rng.randrange(500):03d}" for _ in range(60)]
+        rows.append((i, " ".join(words)))
+        if i % 5 == 0:  # planted near-dup: one word changed
+            w2 = list(words)
+            w2[7] = "mutated"
+            rows.append((10000 + i, " ".join(w2)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    emb = center_vectors(
+        tk.hashed_bow_embedding_arrow(df, "id", "text", dim=32),
+        "id",
+        "vec",
+        dim=32,
+    )
+    emb = emb.localCheckpoint(eager=True)  # same input relation twice
+    res = {}
+    for impl in ("arrow", "expr"):
+        res[impl] = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dups(
+                emb, "id", "vec", threshold=0.8, n_planes=6, dim=32,
+                impl=impl,
+            ).collect()
+        }
+    assert res["arrow"] == res["expr"]
+    assert len(res["arrow"]) >= 30
