@@ -435,14 +435,35 @@ def nightly_probe(spark, n_docs: int, increments=(4_000, 40_000)) -> dict:
             .executedPlan()
             .toString()
         )
+        # banding kernels = MapInArrow nodes that emit band_hash
+        # (discriminated from the verify kernels, which the generic
+        # plan.count("MapInArrow") conflated — r7 review). In the LAZY
+        # plan the increment's banding subtree is textually replicated
+        # under the three join branches (new-new self-join both sides +
+        # new-old probe), so 3 is the expected count; the executed eager
+        # path bands once behind persist(). The no-reband pin proper is
+        # the path-literal FileScan of the stored band table below —
+        # a regression that re-bands the old corpus would compute bands
+        # instead of READING that path, flipping it to false (the
+        # doctored-band-hash unit test pins the same property
+        # behaviorally).
+        band_kernels = sum(
+            1
+            for line in plan.splitlines()
+            if "MapInArrow" in line and "band_hash" in line
+        )
         runs.append(
             {
                 "increment_docs": m,
                 "wall_sec": wall,
                 "pairs": n_pairs,
                 "docs_per_sec": round(m / wall, 1),
-                "band_kernel_count_in_plan": plan.count("MapInArrow"),
-                "old_bands_scanned_from_parquet": "bands" in plan,
+                "band_kernel_nodes_in_lazy_plan": band_kernels,
+                # the literal store path in a FileScan — not a substring
+                # that column names like band_hash would satisfy
+                "old_bands_scanned_from_parquet": (
+                    "FileScan" in plan and f"{base_dir}/bands" in plan
+                ),
             }
         )
     return {

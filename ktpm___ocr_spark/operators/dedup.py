@@ -116,6 +116,13 @@ def minhash_signature(text, k: int = MINHASH_K) -> F.Column:
     array (``zip_with least``); xor never overflows (both operands are
     60-bit, so every value stays a positive int64 in any engine).
     """
+    if k > len(MINHASH_PERM_SALTS):
+        # silent truncation would give every doc an identical (empty)
+        # tail band — the band join degenerates to a full cross pairing
+        raise ValueError(
+            f"k={k} exceeds the {len(MINHASH_PERM_SALTS)}-salt family; "
+            "extend MINHASH_PERM_SALTS (and the oracle literals) first"
+        )
     salts = F.array(
         *[F.lit(c).cast("long") for c in MINHASH_PERM_SALTS[:k]]
     )
@@ -741,6 +748,18 @@ def incremental_near_dups(
     restricted to pairs touching the increment — minus the old-old pairs
     an incremental run must never pay for.
     """
+    # format guard (bounded O(1) control-flow probe, same class as the
+    # k-means/BPE driver reads): the r7 single-hash family shortened
+    # band_hash from 64 to BAND_HEX=16 hex chars; a persisted PRE-r7
+    # band table would silently match zero old-vs-new candidates — every
+    # cross-snapshot dup missed with no error. One head row tells.
+    head = old_bands.select(F.length("band_hash").alias("n")).head(1)
+    if head and head[0]["n"] != BAND_HEX:
+        raise ValueError(
+            f"old_bands.band_hash is {head[0]['n']} hex chars, expected "
+            f"{BAND_HEX} — the band table predates the current minhash "
+            "family; rebuild it with lsh_bands() before probing"
+        )
     par = new_docs.sparkSession.sparkContext.defaultParallelism
     new_docs = new_docs.repartition(par, id_col)
     # a caller that has already banded the increment (e.g. the streaming

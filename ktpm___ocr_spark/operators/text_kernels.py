@@ -86,7 +86,12 @@ def _shingle_bytes(ws: list[str], n: int = _SHINGLE_N) -> list[bytes]:
 
 
 def lsh_bands_arrow(
-    df: DataFrame, id_col: str, text_col: str, k: int, bands: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    chunk_shingles: int = 1 << 21,
 ) -> DataFrame:
     """(id, band_idx, band_hash) — bit-identical to the expression
     ``lsh_bands`` (dedup.py), computed in one Arrow pass.
@@ -109,6 +114,14 @@ def lsh_bands_arrow(
     """
     from ktpm___ocr_spark.operators.dedup import MINHASH_PERM_SALTS
 
+    if k > len(MINHASH_PERM_SALTS):
+        # mirror minhash_signature's guard: a truncated salt family
+        # would hash empty band slices to one constant band_hash for
+        # EVERY doc — the band join degenerates to a cross pairing
+        raise ValueError(
+            f"k={k} exceeds the {len(MINHASH_PERM_SALTS)}-salt family; "
+            "extend MINHASH_PERM_SALTS (and the oracle literals) first"
+        )
     rows = k // bands
     sha = hashlib.sha256
     out_schema = StructType(
@@ -125,27 +138,52 @@ def lsh_bands_arrow(
         import pyarrow as pa
 
         salts = np.array(MINHASH_PERM_SALTS[:k], dtype=np.uint64)
+        # flush the xor/reduceat pass at doc boundaries once a chunk
+        # holds ~2M shingles: Arrow batches are capped by ROWS, not
+        # bytes, so a batch of mega-docs would otherwise materialize an
+        # unbounded (total_shingles × k) xor matrix (and an equally
+        # unbounded Python hash list). Chunking bounds the transient at
+        # ~(2M + one doc's shingles) × k × 8 B ≈ 256 MB per worker,
+        # with per-chunk results bit-identical (reduceat segments are
+        # whole docs either way).
+        chunk_cap = chunk_shingles
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             ids = batch.column(0)
             texts = batch.column(1).to_pylist()
+            sig_parts: list["np.ndarray"] = []
             hashes: list[int] = []
             starts: list[int] = []
+
+            def _flush():
+                # (n_shingles, k) xor matrix → per-doc column mins;
+                # every doc has ≥ 1 shingle (empty text ⇒ the ''
+                # shingle), so reduceat segments are always non-empty
+                sig_parts.append(
+                    np.minimum.reduceat(
+                        np.bitwise_xor.outer(
+                            np.array(hashes, dtype=np.uint64), salts
+                        ),
+                        np.array(starts, dtype=np.int64),
+                        axis=0,
+                    )
+                )
+                hashes.clear()
+                starts.clear()
+
             for t in texts:
                 starts.append(len(hashes))
                 hashes.extend(
                     int.from_bytes(sha(s).digest()[:8], "big") >> 4
                     for s in _shingle_bytes(_words(t))
                 )
-            h_all = np.array(hashes, dtype=np.uint64)
-            # (n_shingles, k) xor matrix → per-doc column mins; every doc
-            # has ≥ 1 shingle (empty text ⇒ the '' shingle), so reduceat
-            # segments are always non-empty
-            sig = np.minimum.reduceat(
-                np.bitwise_xor.outer(h_all, salts),
-                np.array(starts, dtype=np.int64),
-                axis=0,
+                if len(hashes) >= chunk_cap:
+                    _flush()
+            if starts:
+                _flush()
+            sig = (
+                np.vstack(sig_parts) if len(sig_parts) > 1 else sig_parts[0]
             )
             take_idx: list[int] = []
             bidx: list[int] = []
@@ -197,33 +235,52 @@ def _gopher_keep_mask(texts):
     import pyarrow.compute as pc
 
     n_rows = len(texts)
-    low = pc.utf8_lower(pc.fill_null(texts, ""))
-    wl_list = pc.split_pattern_regex(low, pattern=_WS_CLASS + "+")
+    # split the RAW text; lowercase only the (small) vocabulary in
+    # Python below. pc.utf8_lower is utf8proc's SIMPLE per-codepoint
+    # mapping, while Spark's lower() is Java full case mapping (İ →
+    # 'i'+U+0307, final sigma, …) — Python str.lower() matches Java on
+    # every divergent case (probed: İN, ΟΔΟΣ, ΣΣ, ẞ, ǅ…), and case
+    # mapping never creates or destroys whitespace, so split-then-lower
+    # ≡ the expression's lower-then-split. Per-token lowering also
+    # preserves the Final_Sigma context: token boundaries are whitespace
+    # (uncased) on both sides.
+    wl_list = pc.split_pattern_regex(
+        pc.fill_null(texts, ""), pattern=_WS_CLASS + "+"
+    )
     if isinstance(wl_list, pa.ChunkedArray):
         wl_list = wl_list.combine_chunks()
     offsets = np.asarray(wl_list.offsets, dtype=np.int64)
     offsets = offsets - offsets[0]
     flat = wl_list.flatten()
-    wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    rawlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
     doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
-    nonempty = wlen > 0  # split artifacts ('' around separators) drop
+    nonempty = rawlen > 0  # split artifacts ('' around separators) drop
     doc_idx = doc_idx[nonempty]
-    wlen = wlen[nonempty]
     flat = flat.filter(pa.array(nonempty))
+
+    from ktpm___ocr_spark.functions.textstats import EN_STOPWORDS
+
+    dic = flat.dictionary_encode()
+    raw_codes = np.asarray(dic.indices, dtype=np.int64)
+    lowered = [w.lower() for w in dic.dictionary.to_pylist()]
+    # re-key on the LOWERED identity: distinct raw spellings of one
+    # lowered word must count as the same word for the mode/bigram gates
+    uniq, inv = np.unique(np.array(lowered, dtype=object), return_inverse=True)
+    codes = inv[raw_codes]
+    low_len = np.fromiter(
+        (len(w) for w in lowered), dtype=np.int64, count=len(lowered)
+    )
+    wlen = low_len[raw_codes]  # full mapping can change codepoint count
 
     n = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
     sum_len = np.bincount(doc_idx, weights=wlen, minlength=n_rows)
     safe_n = np.maximum(n, 1).astype(np.float64)
     mean_len = sum_len / safe_n  # n==0 rows fail the length gate anyway
 
-    from ktpm___ocr_spark.functions.textstats import EN_STOPWORDS
-
-    dic = flat.dictionary_encode()
-    codes = np.asarray(dic.indices, dtype=np.int64)
-    vocab = dic.dictionary
-    is_stop = np.asarray(
-        pc.is_in(vocab, value_set=pa.array(EN_STOPWORDS))
-    ).astype(np.float64)
+    stopset = set(EN_STOPWORDS)
+    is_stop = np.fromiter(
+        (w in stopset for w in uniq), dtype=np.float64, count=len(uniq)
+    )
     n_stop = np.bincount(doc_idx, weights=is_stop[codes], minlength=n_rows)
     stop_ratio = n_stop / safe_n
 
@@ -247,7 +304,7 @@ def _gopher_keep_mask(texts):
     top_word = _max_multiplicity(codes, doc_idx) / safe_n
 
     same_doc = doc_idx[:-1] == doc_idx[1:] if len(codes) else np.array([], bool)
-    u = len(vocab) + 1
+    u = len(uniq) + 1
     bi_keys = (codes[:-1] * u + codes[1:])[same_doc] if len(codes) else codes
     bi_docs = doc_idx[:-1][same_doc] if len(codes) else doc_idx
     n_bi = np.maximum(n - 1, 0)
@@ -360,8 +417,14 @@ def hashed_bow_embedding_arrow(
             if n_rows == 0:
                 continue
             texts = batch.column(1)
-            low = pc.utf8_lower(pc.fill_null(texts, ""))
-            wl = pc.split_pattern_regex(low, pattern=_WS_CLASS + "+")
+            # split RAW text, lowercase only the vocabulary in Python:
+            # utf8_lower is the simple case mapping, Python str.lower()
+            # matches Spark lower()'s Java full mapping (see
+            # _gopher_keep_mask) — raw spellings of one lowered word
+            # hash to the same crc32 bucket, so no re-keying is needed
+            wl = pc.split_pattern_regex(
+                pc.fill_null(texts, ""), pattern=_WS_CLASS + "+"
+            )
             if isinstance(wl, pa.ChunkedArray):
                 wl = wl.combine_chunks()
             offsets = np.asarray(wl.offsets, dtype=np.int64)
@@ -377,7 +440,7 @@ def hashed_bow_embedding_arrow(
             codes = np.asarray(dic.indices, dtype=np.int64)
             vocab = dic.dictionary.to_pylist()
             vb = np.fromiter(
-                (zlib.crc32(w.encode("utf-8")) % dim for w in vocab),
+                (zlib.crc32(w.lower().encode("utf-8")) % dim for w in vocab),
                 dtype=np.int64,
                 count=len(vocab),
             )
@@ -477,12 +540,10 @@ def shingle_metrics_arrow(
 
 
 def _shingle_set(text: str | None, n: int = _SHINGLE_N) -> set:
-    """shingles() semantics as a Python set (distinct word n-grams;
-    short texts → one whole-text shingle, '' for empty)."""
-    ws = _words(text)
-    if len(ws) >= n:
-        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
-    return {" ".join(ws)}
+    """shingles() semantics as a Python set — derived from
+    ``_shingle_bytes`` so the dedup-critical shingle definition lives in
+    exactly one place (banding and pair-verify can never desync)."""
+    return {b.decode("utf-8") for b in _shingle_bytes(_words(text), n)}
 
 
 def cosine_pairs_arrow(

@@ -342,8 +342,13 @@ def test_nightly_increment_never_rebands_old_side(spark, sf001_dir, tmp_path):
     assert honest.get("new_old", 0) > 0, honest
     assert honest.get("new_new", 0) > 0, honest
 
+    # doctored hashes keep the 16-hex band format — the stale-format
+    # guard (r7 review) rejects anything else before the probe runs
     doctored = old_bands.withColumn(
-        "band_hash", F.sha2(F.concat(F.col("band_hash"), F.lit("X")), 256)
+        "band_hash",
+        F.substring(
+            F.sha2(F.concat(F.col("band_hash"), F.lit("X")), 256), 1, 16
+        ),
     )
     broken = kinds(doctored)
     assert broken.get("new_old", 0) == 0, broken

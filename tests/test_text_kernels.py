@@ -544,3 +544,116 @@ def test_embedding_near_dups_arrow_equals_expr(spark):
         }
     assert res["arrow"] == res["expr"]
     assert len(res["arrow"]) >= 30
+
+
+# ------------------------------------------- r7 review fixes
+
+
+def test_gopher_kernel_matches_expr_on_full_case_mapping(spark):
+    """pc.utf8_lower is the SIMPLE per-codepoint case mapping; Spark's
+    lower() is Java full case mapping. The kernel must agree with the
+    expression on the divergent characters (Turkish İ expands to two
+    codepoints — changing word LENGTH — and Greek sigma takes the
+    Final_Sigma form), pinned here because the ASCII-heavy fixtures
+    can't see it (r7 review, confirmed divergence pre-fix)."""
+    texts = [
+        # İ lowers to i + U+0307 under full mapping (len 2, not 1)
+        "İN İN aaa bbb ccc ddd eee fff ggg hhh the of",
+        # final sigma: ΟΔΟΣ → οδος (simple mapping gives οδοσ)
+        "ΟΔΟΣ οδος aaa bbb ccc ddd eee fff ggg hhh the of",
+        # mixed-case stopword: THE must count as a stopword post-lower
+        "THE The the aaa bbb ccc ddd eee fff ggg hhh iii jjj",
+        # German sharp-s variants
+        "STRAẞE straße aaa bbb ccc ddd eee fff ggg hhh the of",
+    ]
+    df = _df(spark, texts)
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in tk.gopher_gate_arrow(df).collect()
+    }
+    want = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id", textstats.gopher_keep_expr(F.col("text")).alias("keep")
+        ).collect()
+    }
+    assert got == want
+    # and the raw-spelling re-key counts case variants as ONE word:
+    # 'THE The the' is 3 occurrences of one lowered word
+    mixed = _df(spark, ["THE The the xxx " * 5])
+    g = tk.gopher_gate_arrow(mixed).first()["keep"]
+    e = mixed.select(
+        textstats.gopher_keep_expr(F.col("text")).alias("k")
+    ).first()["k"]
+    assert g == e
+
+
+def test_hashed_bow_full_case_mapping_bucket_identity(spark):
+    """Case variants of one word must hash to the same crc32 bucket —
+    including the full-mapping pairs utf8_lower got wrong."""
+    pairs = [("İSTANBUL", "i̇stanbul"), ("ΟΔΟΣ", "οδος"), ("THE", "the")]
+    for up, low in pairs:
+        df = spark.createDataFrame(
+            [(1, up), (2, low)], "id long, text string"
+        )
+        vecs = {
+            r["id"]: r["vec"]
+            for r in tk.hashed_bow_embedding_arrow(
+                df, "id", "text", dim=32
+            ).collect()
+        }
+        assert vecs[1] == vecs[2], (up, low)
+
+
+def test_minhash_k_beyond_salt_family_raises(spark):
+    """k > len(MINHASH_PERM_SALTS) must raise, not silently truncate:
+    truncation gives every doc an identical empty-slice tail band and
+    the band join degenerates to a cross pairing (r7 review)."""
+    df = _df(spark, ["some words here for banding"])
+    with pytest.raises(ValueError, match="salt family"):
+        dd.lsh_bands(df, "doc_id", "text", k=32, bands=4, impl="expr")
+    with pytest.raises(ValueError, match="salt family"):
+        tk.lsh_bands_arrow(df, "doc_id", "text", k=32, bands=4).collect()
+
+
+def test_lsh_bands_arrow_chunked_flush_bit_identical(spark):
+    """The doc-boundary chunk flush (bounding the xor transient on
+    mega-doc batches) must not change a single band hash: force a tiny
+    chunk cap so every flush path runs, compare against the unchunked
+    kernel and the expression."""
+    texts = ADVERSARIAL + _rand_texts(60, seed=17)
+    df = _df(spark, texts)
+    base = {
+        (r["doc_id"], r["band_idx"]): r["band_hash"]
+        for r in tk.lsh_bands_arrow(df, "doc_id", "text", 16, 4).collect()
+    }
+    chunked = {
+        (r["doc_id"], r["band_idx"]): r["band_hash"]
+        for r in tk.lsh_bands_arrow(
+            df, "doc_id", "text", 16, 4, chunk_shingles=7
+        ).collect()
+    }
+    expr = {
+        (r["doc_id"], r["band_idx"]): r["band_hash"]
+        for r in dd.lsh_bands(df, "doc_id", "text", impl="expr").collect()
+    }
+    assert chunked == base == expr
+
+
+def test_incremental_near_dups_rejects_stale_band_format(spark):
+    """A persisted band table from the pre-r7 64-hex family must raise,
+    not silently match zero cross-snapshot candidates (r7 review)."""
+    from ktpm___ocr_spark.operators.dedup import incremental_near_dups
+
+    stale = spark.createDataFrame(
+        [(1, 0, "ab" * 32)],  # 64-hex band_hash
+        "doc_id bigint, band_idx int, band_hash string",
+    )
+    old_texts = spark.createDataFrame(
+        [(1, "old corpus text")], "doc_id bigint, text string"
+    )
+    inc = spark.createDataFrame(
+        [(101, "new increment text")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="band table predates"):
+        incremental_near_dups(stale, old_texts, inc)
